@@ -1,0 +1,120 @@
+"""Camera models: pinhole projection, stereo/RGB-D virtual-right, frustum.
+
+Replaces the camera math spread across the reference's ``src/Frame.cc``
+(``UnprojectStereo``, ``ComputeStereoFromRGBD`` ~L530 [U]),
+``src/MapPoint.cc`` (``PredictScale`` [U]) and the per-point
+``Frame::isInFrustum`` test (``src/Frame.cc`` ~L200-250 [U]) — here a
+single vmapped frustum kernel over the whole point arena (also the
+active layer's localizability scorer, SURVEY.md §2.4).
+"""
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from active_orb_slam2_tpu.geometry.se3 import se3_apply, se3_inverse, quat_rotate, quat_conj
+
+
+class CameraParams(NamedTuple):
+    """Static pinhole intrinsics (undistorted coordinates).
+
+    Mirrors the YAML block ``Camera.{fx,fy,cx,cy,bf}`` read by the
+    reference's Tracking ctor (``src/Tracking.cc`` ~L50-180 [U]).
+    Distortion is handled once at feature-extraction time (keypoints are
+    undistorted like ``Frame::UndistortKeyPoints``), so core math is
+    distortion-free.
+    """
+    fx: float
+    fy: float
+    cx: float
+    cy: float
+    bf: float          # baseline * fx (stereo/RGB-D); 0 for monocular
+    width: int
+    height: int
+
+    @property
+    def baseline(self):
+        return self.bf / self.fx
+
+    @property
+    def K(self):
+        return jnp.array([[self.fx, 0.0, self.cx],
+                          [0.0, self.fy, self.cy],
+                          [0.0, 0.0, 1.0]], dtype=jnp.float32)
+
+
+def project(cam: CameraParams, pc):
+    """Camera-frame points [..., 3] -> pixel coords [..., 2] and depth [...].
+
+    Depth <= 0 is the caller's responsibility to mask (returned so masks
+    can be built without recomputing).
+    """
+    z = pc[..., 2]
+    inv_z = 1.0 / jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+    u = cam.fx * pc[..., 0] * inv_z + cam.cx
+    v = cam.fy * pc[..., 1] * inv_z + cam.cy
+    return jnp.stack([u, v], axis=-1), z
+
+
+def project_stereo(cam: CameraParams, pc):
+    """Camera points [..., 3] -> (u, v, uR) [..., 3] and depth.
+
+    uR = u - bf/z: the virtual right-image x-coordinate, exactly the
+    quantity the reference synthesizes in ``ComputeStereoFromRGBD``
+    (``src/Frame.cc`` ~L530-560 [U]) and uses in stereo BA edges.
+    """
+    uv, z = project(cam, pc)
+    inv_z = 1.0 / jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+    ur = uv[..., 0] - cam.bf * inv_z
+    return jnp.concatenate([uv, ur[..., None]], axis=-1), z
+
+
+def backproject(cam: CameraParams, uv, depth):
+    """Pixel coords [..., 2] + depth [...] -> camera-frame points [..., 3]."""
+    x = (uv[..., 0] - cam.cx) / cam.fx * depth
+    y = (uv[..., 1] - cam.cy) / cam.fy * depth
+    return jnp.stack([x, y, depth], axis=-1)
+
+
+def predict_scale(dist, max_dist, scale_factor: float, n_levels: int):
+    """Pyramid level a point should appear at, from viewing distance.
+
+    Reference ``MapPoint::PredictScale`` [U]:
+    level = ceil(log(maxDist / d) / log(scaleFactor)), clipped.
+    """
+    ratio = jnp.maximum(max_dist / jnp.maximum(dist, 1e-9), 1e-9)
+    level = jnp.ceil(jnp.log(ratio) / jnp.log(scale_factor))
+    return jnp.clip(level, 0, n_levels - 1).astype(jnp.int32)
+
+
+def in_frustum(cam: CameraParams, Tcw, pw, normal, min_dist, max_dist,
+               view_cos_limit: float = 0.5, margin: float = 0.0):
+    """Vectorized ``Frame::isInFrustum`` (``src/Frame.cc`` ~L200-250 [U]).
+
+    Args:
+      Tcw: pose [7] (world->camera).
+      pw: world points [N, 3]; normal: mean viewing dirs [N, 3];
+      min_dist/max_dist: scale-invariance bounds [N].
+    Returns:
+      (visible [N] bool, uv [N, 2], depth [N], dist [N], view_cos [N]).
+
+    Checks: positive depth, image bounds (+margin), distance within
+    [0.8*min, 1.2*max] (reference multipliers), viewing cos > limit.
+    This same kernel, vmapped over candidate poses, is the active
+    layer's localizability scorer (SURVEY.md §2.4 'feature-visibility
+    scoring').
+    """
+    pc = se3_apply(Tcw, pw)
+    uv, z = project(cam, pc)
+    # camera center in world: Ow = -R^T t
+    ow = -quat_rotate(quat_conj(Tcw[:4]), Tcw[4:7])
+    po = pw - ow
+    dist = jnp.linalg.norm(po, axis=-1)
+    view_cos = jnp.sum(po * normal, axis=-1) / jnp.maximum(dist, 1e-9)
+
+    ok = (z > 0.0)
+    ok &= (uv[..., 0] >= -margin) & (uv[..., 0] < cam.width + margin)
+    ok &= (uv[..., 1] >= -margin) & (uv[..., 1] < cam.height + margin)
+    ok &= (dist >= 0.8 * min_dist) & (dist <= 1.2 * max_dist)
+    ok &= view_cos > view_cos_limit
+    return ok, uv, z, dist, view_cos
