@@ -1,0 +1,101 @@
+"""Map arena tests: observation store, covisibility matmul, slot alloc."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from active_orb_slam2_tpu.config import MapConfig, OrbConfig
+from active_orb_slam2_tpu.models.map_state import (
+    empty_map, observation_indicator, point_observation_count,
+    covisibility_weights, best_covisible, allocate_slots,
+    update_point_stats)
+
+MCFG = MapConfig(max_keyframes=8, max_points=64)
+OCFG = OrbConfig(n_features=16, n_levels=4)
+
+
+def small_map():
+    m = empty_map(MCFG, OCFG)
+    # 3 valid KFs; KF0 sees pts 0,1,2; KF1 sees 1,2,3; KF2 sees 2,3
+    m = m._replace(
+        kf_valid=m.kf_valid.at[:3].set(True),
+        pt_valid=m.pt_valid.at[:4].set(True),
+        kf_point=m.kf_point
+        .at[0, 0].set(0).at[0, 1].set(1).at[0, 2].set(2)
+        .at[1, 0].set(1).at[1, 1].set(2).at[1, 2].set(3)
+        .at[2, 0].set(2).at[2, 1].set(3),
+    )
+    return m
+
+
+def test_observation_indicator():
+    ind = np.asarray(observation_indicator(small_map()))
+    assert ind.shape == (8, 64)
+    assert ind[0, :4].tolist() == [True, True, True, False]
+    assert ind[1, :4].tolist() == [False, True, True, True]
+    assert ind[3].sum() == 0  # invalid KF
+
+
+def test_point_observation_count():
+    cnt = np.asarray(point_observation_count(small_map()))
+    assert cnt[:5].tolist() == [1, 2, 3, 2, 0]
+
+
+def test_covisibility_weights():
+    W = np.asarray(covisibility_weights(small_map()))
+    assert W[0, 1] == 2      # share pts 1, 2
+    assert W[0, 2] == 1      # share pt 2
+    assert W[1, 2] == 2      # share pts 2, 3
+    assert W[0, 0] == 0      # no self edge
+    assert (W == W.T).all()
+
+
+def test_best_covisible():
+    idx, w = best_covisible(small_map(), 1, 3)
+    # KF1 shares 2 with both KF0 and KF2
+    assert set(np.asarray(idx)[np.asarray(w) > 0].tolist()) == {0, 2}
+
+
+def test_allocate_slots():
+    valid = jnp.array([True, False, True, False, False])
+    slots, ok = allocate_slots(valid, 3)
+    assert np.asarray(slots).tolist() == [1, 3, 4]
+    assert np.asarray(ok).all()
+    # overflow: ask for more than free
+    slots2, ok2 = allocate_slots(jnp.ones(3, bool), 2)
+    assert not np.asarray(ok2).any()
+
+
+def test_update_point_stats(rng):
+    m = small_map()
+    # give KFs distinct poses and the points real positions
+    m = m._replace(
+        pt_xyz=m.pt_xyz.at[:4].set(jnp.array(
+            [[0., 0., 5.], [1., 0., 5.], [0., 1., 5.], [1., 1., 5.]])),
+        kf_desc=jnp.array(rng.integers(0, 2**32, size=(8, 16, 8),
+                                       dtype=np.uint32)),
+        kf_feat_valid=m.kf_feat_valid.at[:3, :].set(True),
+    )
+    m2 = update_point_stats(m)
+    # normals are unit for observed points
+    n = np.asarray(m2.pt_normal[:4])
+    np.testing.assert_allclose(np.linalg.norm(n, axis=-1), 1.0, atol=1e-5)
+    # cameras at origin looking at z=5 -> normal approx +z
+    assert (n[:, 2] > 0.9).all()
+    # max_dist positive for observed
+    assert (np.asarray(m2.pt_max_dist[:4]) > 0).all()
+    # unobserved point untouched
+    assert float(m2.pt_max_dist[10]) == 1e9
+
+
+def test_point_with_single_obs_desc_matches():
+    """A point seen once gets exactly that observation's descriptor."""
+    m = small_map()
+    desc = jnp.arange(8 * 16 * 8, dtype=jnp.uint32).reshape(8, 16, 8)
+    m = m._replace(kf_desc=desc,
+                   kf_feat_valid=m.kf_feat_valid.at[:3, :].set(True),
+                   pt_xyz=m.pt_xyz.at[:4].set(
+                       jnp.array([[0., 0., 5.]] * 4)))
+    m2 = update_point_stats(m)
+    # pt 0 observed only by KF0 feature 0
+    np.testing.assert_array_equal(np.asarray(m2.pt_desc[0]),
+                                  np.asarray(desc[0, 0]))
