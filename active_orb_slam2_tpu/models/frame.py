@@ -1,0 +1,71 @@
+"""Frame construction: ORB extraction + per-feature stereo/depth info.
+
+Replaces the reference's ``Frame`` constructors (``src/Frame.cc`` [U]):
+the RGB-D path (``ComputeStereoFromRGBD`` ~L530-560: depth -> virtual
+right coordinate uR = u - bf/d) and keypoint undistortion.  The 64x48
+feature grid (``AssignFeaturesToGrid``) has no equivalent here — the
+dense masked distance matrix in ops/matching.py replaces grid lookups.
+"""
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from active_orb_slam2_tpu.config import SlamConfig
+from active_orb_slam2_tpu.geometry.projection import CameraParams
+from active_orb_slam2_tpu.ops.orb import OrbFeatures, build_extractor
+
+
+class FrameData(NamedTuple):
+    """One frame's measurements, fixed shape [N = n_features]."""
+    uv: jnp.ndarray        # [N, 2] keypoint pixels (undistorted)
+    level: jnp.ndarray     # [N] int32
+    angle: jnp.ndarray     # [N]
+    response: jnp.ndarray  # [N]
+    desc: jnp.ndarray      # [N, 8] uint32
+    valid: jnp.ndarray     # [N] bool
+    ur: jnp.ndarray        # [N] virtual right x-coord (<0 = mono)
+    depth: jnp.ndarray     # [N] metric depth (<=0 = none)
+
+
+def frame_from_features(feats: OrbFeatures, cam: CameraParams,
+                        depth_map: Optional[jnp.ndarray] = None
+                        ) -> FrameData:
+    """Attach depth / virtual-right info to extracted features.
+
+    ``depth_map`` is a metric-depth image [H, W] (already divided by
+    DepthMapFactor); 0 marks missing depth, as in TUM RGB-D.
+    """
+    n = feats.uv.shape[0]
+    if depth_map is not None:
+        h, w = depth_map.shape
+        xi = jnp.clip(jnp.round(feats.uv[:, 0]).astype(jnp.int32), 0, w - 1)
+        yi = jnp.clip(jnp.round(feats.uv[:, 1]).astype(jnp.int32), 0, h - 1)
+        d = depth_map[yi, xi]
+        has_d = (d > 0) & feats.valid
+        ur = jnp.where(has_d, feats.uv[:, 0] - cam.bf / jnp.maximum(d, 1e-6),
+                       -1.0)
+        depth = jnp.where(has_d, d, 0.0)
+    else:
+        ur = jnp.full((n,), -1.0, jnp.float32)
+        depth = jnp.zeros((n,), jnp.float32)
+    return FrameData(uv=feats.uv, level=feats.level, angle=feats.angle,
+                     response=feats.response, desc=feats.desc,
+                     valid=feats.valid, ur=ur, depth=depth)
+
+
+def build_frame_pipeline(cfg: SlamConfig):
+    """Jitted (image, depth_map?) -> FrameData for the configured camera."""
+    cam = cfg.camera
+    extract = build_extractor(cfg.orb, cam.height, cam.width)
+
+    @jax.jit
+    def make_rgbd(image, depth_map):
+        return frame_from_features(extract(image), cam, depth_map)
+
+    @jax.jit
+    def make_mono(image):
+        return frame_from_features(extract(image), cam, None)
+
+    return make_rgbd, make_mono

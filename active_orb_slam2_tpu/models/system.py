@@ -1,0 +1,220 @@
+"""System: the public API + host orchestrator.
+
+Replaces the reference's ``System`` class (``src/System.cc`` [U]) and
+its thread fabric: instead of four OS threads sharing a mutexed map
+(SURVEY.md §5.2), one single-threaded orchestrator interleaves jitted
+device steps — track_step per frame, create_keyframe + mapping_step per
+keyframe — over an immutable map pytree.  The reference's "background
+local BA interruptible by new keyframes" becomes deterministic bounded
+BA slices run synchronously at keyframe rate (SURVEY.md §5.3).
+
+API surface mirrors the reference: ``track_rgbd(im, depth, t) -> Tcw``,
+``save_trajectory_tum``, ``save_keyframe_trajectory_tum``,
+``save_trajectory_kitti``, ``activate_localization_mode``, plus
+checkpointing the whole map (which stock ORB-SLAM2 famously lacks —
+SURVEY.md §5.4).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from active_orb_slam2_tpu.config import SlamConfig
+from active_orb_slam2_tpu.geometry.se3 import (
+    se3_compose, se3_inverse, se3_to_mat44)
+from active_orb_slam2_tpu.io.trajectory import (
+    resolve_frame_poses, save_tum, save_kitti)
+from active_orb_slam2_tpu.models.frame import build_frame_pipeline
+from active_orb_slam2_tpu.models.local_mapping import build_mapping_step
+from active_orb_slam2_tpu.models.map_state import empty_map
+from active_orb_slam2_tpu.models.tracking import (
+    apply_visibility_counters, build_create_keyframe, build_track_step,
+    init_track_state)
+
+NOT_INITIALIZED = 0
+OK = 1
+LOST = 2
+
+
+class System:
+    """RGB-D / stereo-from-depth SLAM engine (monocular lands with the
+    initializer module)."""
+
+    def __init__(self, cfg: SlamConfig, use_mapping: bool = True):
+        self.cfg = cfg
+        self.make_rgbd, self.make_mono = build_frame_pipeline(cfg)
+        self.track_step = build_track_step(cfg)
+        self.create_kf = build_create_keyframe(cfg)
+        self.mapping_step = build_mapping_step(cfg)
+        self.map = empty_map(cfg.map, cfg.orb)
+        self.track = init_track_state(cfg.orb.n_features)
+        self.state = NOT_INITIALIZED
+        self.use_mapping = use_mapping
+        self.localization_only = False
+
+        self.frame_id = 0
+        self.kf_seq = 0                  # monotone keyframe counter
+        self.last_kf_slot = -1
+        self.last_kf_frame = -10**9
+        self.last_kf_inliers = 0
+        self.rel_records = []            # (t, ref_kf_slot, Tcr) per frame
+        self.kf_records = []             # (t, kf_slot) per keyframe
+        self.metrics = []                # per-frame dict
+
+    # ------------------------------------------------------------- tracking
+
+    def track_rgbd(self, gray, depth, timestamp: float):
+        """Process one RGB-D frame; returns Tcw as a 4x4 numpy array.
+
+        ``gray`` [H, W] float (0..255); ``depth`` metric depth, 0=missing.
+        """
+        frame = self.make_rgbd(jnp.asarray(gray, jnp.float32),
+                               jnp.asarray(depth, jnp.float32))
+        if self.state == NOT_INITIALIZED:
+            pose = self._initialize(frame, timestamp)
+        else:
+            pose = self._track_frame(frame, timestamp)
+        self.frame_id += 1
+        return np.asarray(se3_to_mat44(jnp.asarray(pose)))
+
+    def _initialize(self, frame, timestamp):
+        """StereoInitialization (``src/Tracking.cc`` ~L510 [U]): first
+        frame with enough depth points becomes KF 0 at the origin."""
+        n_depth = int(np.asarray(
+            (frame.valid & (frame.depth > 0.1)).sum()))
+        pose = jnp.asarray(self.track.pose)
+        if n_depth < 100:
+            self._record_frame(timestamp, pose)
+            return pose
+        assoc0 = jnp.full((self.cfg.orb.n_features,), -1, jnp.int32)
+        self.map, k, ok = self.create_kf(
+            self.map, frame, pose, assoc0, self.frame_id, self.kf_seq, -1)
+        if not bool(ok):
+            self._record_frame(timestamp, pose)
+            return pose
+        self.last_kf_slot = int(k)
+        self.kf_seq += 1
+        self.last_kf_frame = self.frame_id
+        self.last_kf_inliers = int(np.asarray(
+            (self.map.kf_point[int(k)] >= 0).sum()))
+        self.kf_records.append((timestamp, int(k)))
+        # seed track state with the KF associations
+        self.track = self.track._replace(
+            assoc=self.map.kf_point[int(k)],
+            ok=jnp.array(True))
+        self.state = OK
+        self._record_frame(timestamp, pose)
+        return pose
+
+    def _track_frame(self, frame, timestamp):
+        self.track, n_mm, n_loc, vis_mask, found_mask = self.track_step(
+            self.map, frame, self.track)
+        self.map = apply_visibility_counters(self.map, vis_mask, found_mask)
+        n_inliers = int(self.track.n_inliers)
+        pose = self.track.pose
+
+        self.metrics.append({
+            "frame": self.frame_id, "n_motion_inliers": int(n_mm),
+            "n_inliers": n_inliers, "state": int(self.state)})
+
+        if not bool(self.track.ok):
+            self.state = LOST          # relocalization lands in phase 6
+        else:
+            self.state = OK
+            if (not self.localization_only and self.use_mapping
+                    and self._need_new_keyframe(frame, n_inliers)):
+                self._insert_keyframe(frame, timestamp)
+        self._record_frame(timestamp, pose)
+        return pose
+
+    def _need_new_keyframe(self, frame, n_inliers) -> bool:
+        """``Tracking::NeedNewKeyFrame`` (~L1010 [U]), host-side scalars.
+
+        Rules kept: max-interval force; tracked-vs-reference ratio 0.9;
+        the RGB-D 'need close points' rule (tracked-close < 100 while
+        ≥ 70 close candidates are unmatched)."""
+        t = self.cfg.tracking
+        since = self.frame_id - self.last_kf_frame
+        if since < max(t.kf_min_interval, 1):
+            return False
+        if self.kf_seq >= self.cfg.map.max_keyframes:
+            return False
+        if since >= t.kf_max_interval:
+            return True
+        weak = n_inliers < t.kf_ref_ratio * max(self.last_kf_inliers, 1)
+        close_unmatched = int(np.asarray((
+            frame.valid & (self.track.assoc < 0) & (frame.depth > 0.1)
+            & (frame.depth < t.th_depth)).sum()))
+        close_tracked = int(np.asarray((
+            frame.valid & (self.track.assoc >= 0)
+            & (frame.depth > 0.1)
+            & (frame.depth < t.th_depth)).sum()))
+        need_close = close_tracked < 100 and close_unmatched > 70
+        return (weak or need_close) and n_inliers > 15
+
+    def _insert_keyframe(self, frame, timestamp):
+        self.map, k, ok = self.create_kf(
+            self.map, frame, self.track.pose, self.track.assoc,
+            self.frame_id, self.kf_seq, self.last_kf_slot)
+        if not bool(ok):
+            return
+        k = int(k)
+        self.kf_seq += 1
+        self.last_kf_slot = k
+        self.last_kf_frame = self.frame_id
+        self.last_kf_inliers = int(self.track.n_inliers)
+        self.kf_records.append((timestamp, k))
+        # pick up associations created by the KF (new depth points)
+        self.track = self.track._replace(assoc=self.map.kf_point[k])
+        if self.use_mapping:
+            self.map = self.mapping_step(self.map, k, self.kf_seq)
+
+    def _record_frame(self, timestamp, pose):
+        ref = max(self.last_kf_slot, 0)
+        ref_pose = jnp.asarray(self.map.kf_pose[ref])
+        tcr = se3_compose(jnp.asarray(pose), se3_inverse(ref_pose))
+        self.rel_records.append((timestamp, ref, np.asarray(tcr)))
+
+    # ------------------------------------------------------------ mode API
+
+    def activate_localization_mode(self):
+        self.localization_only = True
+
+    def deactivate_localization_mode(self):
+        self.localization_only = False
+
+    # ------------------------------------------------------------- outputs
+
+    def frame_trajectory(self):
+        """(timestamps, Tcw [N, 7]) with relative poses replayed against
+        the final keyframe poses, like SaveTrajectoryTUM."""
+        return resolve_frame_poses(self.rel_records,
+                                   np.asarray(self.map.kf_pose))
+
+    def keyframe_trajectory(self):
+        ts = np.array([t for t, _ in self.kf_records])
+        poses = np.stack([np.asarray(self.map.kf_pose[k])
+                          for _, k in self.kf_records]) \
+            if self.kf_records else np.zeros((0, 7))
+        return ts, poses
+
+    def save_trajectory_tum(self, path):
+        ts, poses = self.frame_trajectory()
+        save_tum(path, ts, poses)
+
+    def save_keyframe_trajectory_tum(self, path):
+        ts, poses = self.keyframe_trajectory()
+        save_tum(path, ts, poses)
+
+    def save_trajectory_kitti(self, path):
+        _, poses = self.frame_trajectory()
+        save_kitti(path, poses)
+
+    def checkpoint(self):
+        """The whole map as a dict of numpy arrays (save/load/resume —
+        absent in stock ORB-SLAM2, SURVEY.md §5.4)."""
+        return {f: np.asarray(getattr(self.map, f))
+                for f in self.map._fields}
+
+    def restore(self, ckpt: dict):
+        self.map = self.map._replace(
+            **{f: jnp.asarray(v) for f, v in ckpt.items()})

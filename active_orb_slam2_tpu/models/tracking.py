@@ -1,0 +1,300 @@
+"""Per-frame tracking: motion-model matching, pose optimization, local-map
+tracking, and keyframe insertion.
+
+TPU-native redesign of the reference's ``src/Tracking.cc`` front end
+(SURVEY.md §3.2 call stack).  The ``Track()`` state machine's heavy
+stages are three jitted fixed-shape steps:
+
+  * :func:`build_track_step` — ``TrackWithMotionModel`` (~L780) +
+    ``TrackLocalMap`` (~L850): projection-gated matching against the
+    point arena, two pose optimizations, visibility counters.
+  * :func:`build_create_keyframe` — ``CreateNewKeyFrame`` (~L1100):
+    write the frame into a free KF slot, synthesize close points from
+    depth (RGB-D/stereo).
+  * ``StereoInitialization`` (~L510) is create_keyframe on an empty map.
+
+Host-side control (lost/OK branching, keyframe decision) reads a few
+scalars per frame; everything data-parallel stays on device.
+
+Matching policy notes vs the reference: the motion-model search matches
+map-point consensus descriptors (pt_desc) rather than last-frame feature
+descriptors, and local-KF voting runs over the forward store kf_point —
+both reformulations keep the same association semantics with fixed
+shapes.
+"""
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from active_orb_slam2_tpu.config import SlamConfig
+from active_orb_slam2_tpu.geometry.projection import (
+    in_frustum, predict_scale, project_stereo)
+from active_orb_slam2_tpu.geometry.se3 import (
+    se3_apply, se3_compose, se3_identity, se3_inverse, quat_rotate, quat_conj)
+from active_orb_slam2_tpu.models.frame import FrameData
+from active_orb_slam2_tpu.models.map_state import MapState, allocate_slots
+from active_orb_slam2_tpu.models.optimizer import pose_optimization
+from active_orb_slam2_tpu.ops.matching import (
+    search_by_projection, rotation_consistency_mask)
+
+
+class TrackState(NamedTuple):
+    """Carried between frames (the reference's Tracking members)."""
+    pose: jnp.ndarray        # [7] Tcw of last tracked frame
+    velocity: jnp.ndarray    # [7] Tcw_k (Tcw_{k-1})^-1 constant-velocity model
+    vel_ok: jnp.ndarray      # bool — velocity meaningful
+    assoc: jnp.ndarray       # [F] int32 feature->point of last frame
+    n_inliers: jnp.ndarray   # int32
+    ok: jnp.ndarray          # bool — tracking good
+
+
+def init_track_state(n_features: int) -> TrackState:
+    return TrackState(
+        pose=se3_identity(),
+        velocity=se3_identity(),
+        vel_ok=jnp.array(False),
+        assoc=jnp.full((n_features,), -1, jnp.int32),
+        n_inliers=jnp.array(0, jnp.int32),
+        ok=jnp.array(False),
+    )
+
+
+def _scale_radius(level, base):
+    return base * (1.2 ** level.astype(jnp.float32))
+
+
+def _match_against_points(cam, pose, m: MapState, cand_idx, cand_ok,
+                          frame: FrameData, radius_base, ratio,
+                          max_dist, already):
+    """Project candidate map points and associate to frame features.
+
+    cand_idx [C] point slots (gathered, fixed C); cand_ok [C] bool.
+    ``already`` [F] marks features that must not be re-matched.
+    Returns assoc_update [F] int32 (point slot or -1).
+    """
+    xyz = m.pt_xyz[cand_idx]
+    uvr, z = project_stereo(cam, se3_apply(pose, xyz))
+    pred_lv = predict_scale(
+        jnp.linalg.norm(xyz - _cam_center(pose)[None], axis=-1),
+        m.pt_max_dist[cand_idx], 1.2, 8)
+    in_img = ((z > 0.2) & (uvr[:, 0] >= 0) & (uvr[:, 0] < cam.width)
+              & (uvr[:, 1] >= 0) & (uvr[:, 1] < cam.height))
+    ok = cand_ok & in_img
+    radii = _scale_radius(pred_lv, radius_base)
+    feat_free = frame.valid & ~already
+    idx, dist = search_by_projection(
+        uvr[:, :2], radii, pred_lv,
+        m.pt_desc[cand_idx], ok,
+        frame.uv, frame.level, frame.desc, feat_free,
+        max_dist=max_dist, ratio=ratio)
+    # scatter: feature -> point slot
+    assoc = jnp.full((frame.uv.shape[0],), -1, jnp.int32)
+    src = jnp.where((idx >= 0) & ok, cand_idx, -1)
+    assoc = assoc.at[jnp.clip(idx, 0)].max(src)
+    return assoc, ok
+
+
+def _cam_center(pose):
+    return -quat_rotate(quat_conj(pose[:4]), pose[4:7])
+
+
+def _pose_opt_from_assoc(cam, pose0, m: MapState, frame: FrameData, assoc):
+    """Motion-only BA over the current feature->point associations."""
+    matched = (assoc >= 0) & frame.valid
+    pt = jnp.clip(assoc, 0)
+    pw = m.pt_xyz[pt]
+    obs_uvr = jnp.concatenate([frame.uv, frame.ur[:, None]], axis=-1)
+    has_stereo = frame.ur > 0
+    res = pose_optimization(cam, pose0, pw, obs_uvr, frame.level,
+                            has_stereo, matched & m.pt_valid[pt])
+    return res
+
+
+def build_track_step(cfg: SlamConfig, local_cand: int = 2048):
+    """Compile the per-frame tracking step.
+
+    Returns jitted fn: (m, frame, st) ->
+      (new_st, motion_inliers, local_inliers, visible_mask, found_mask)
+    """
+    cam = cfg.camera
+    tcfg = cfg.tracking
+
+    @jax.jit
+    def track_step(m: MapState, frame: FrameData, st: TrackState):
+        pred = jnp.where(st.vel_ok, se3_compose(st.velocity, st.pose),
+                         st.pose)
+
+        # ---- motion-model stage: re-find last frame's points -------------
+        prev_pts = jnp.where((st.assoc >= 0), st.assoc, 0)
+        prev_ok = (st.assoc >= 0) & m.pt_valid[prev_pts]
+        assoc1, _ = _match_against_points(
+            cam, pred, m, prev_pts, prev_ok, frame,
+            radius_base=15.0, ratio=tcfg.nn_ratio_motion,
+            max_dist=100.0, already=jnp.zeros_like(frame.valid))
+        res1 = _pose_opt_from_assoc(cam, pred, m, frame, assoc1)
+        # TrackReferenceKeyFrame-style fallback (reference ~L730 [U]):
+        # if the motion-model stage collapses, discard its pose and
+        # associations and let the local-map stage search wide from the
+        # motion prediction instead.
+        mm_ok = res1.n_inliers >= tcfg.min_inliers_track
+        assoc1 = jnp.where(mm_ok & res1.inliers, assoc1, -1)
+        pose = jnp.where(mm_ok, res1.pose, pred)
+        local_radius = jnp.where(mm_ok, 4.0, 12.0)
+
+        # ---- local-map stage --------------------------------------------
+        # vote for local KFs through the forward observation store
+        matched_mask_p = jnp.zeros((m.max_points,), bool).at[
+            jnp.clip(assoc1, 0)].max(assoc1 >= 0)
+        obs_pt = jnp.clip(m.kf_point, 0)
+        votes = jnp.sum(
+            jnp.where((m.kf_point >= 0) & matched_mask_p[obs_pt]
+                      & m.kf_valid[:, None], 1, 0), axis=1)   # [K]
+        nloc = min(tcfg.max_local_keyframes, m.max_keyframes)
+        vote_w, local_kf = jax.lax.top_k(votes, nloc)
+        local_kf_ok = vote_w > 0
+
+        # local point set: points observed by local KFs
+        lk_points = jnp.clip(m.kf_point[local_kf], 0)         # [L, F]
+        lk_obs = (m.kf_point[local_kf] >= 0) & local_kf_ok[:, None]
+        local_mask = jnp.zeros((m.max_points,), bool).at[
+            lk_points.ravel()].max(lk_obs.ravel())
+        local_mask &= m.pt_valid
+
+        # frustum cull + visibility counting
+        vis, uv, z, dist, vcos = in_frustum(
+            cam, pose, m.pt_xyz, m.pt_normal, m.pt_min_dist, m.pt_max_dist)
+        cand_mask = local_mask & vis & ~matched_mask_p
+        visible_mask = local_mask & vis
+
+        # gather top-C candidates (stable order by index)
+        cand_idx = jnp.argsort(~cand_mask, stable=True)[:local_cand]
+        cand_ok = cand_mask[cand_idx]
+        already = (assoc1 >= 0)
+        assoc2, _ = _match_against_points(
+            cam, pose, m, cand_idx, cand_ok, frame,
+            radius_base=local_radius, ratio=tcfg.nn_ratio_local,
+            max_dist=float(tcfg.th_high), already=already)
+        assoc = jnp.where(assoc1 >= 0, assoc1, assoc2)
+
+        res2 = _pose_opt_from_assoc(cam, pose, m, frame, assoc)
+        assoc = jnp.where(res2.inliers, assoc, -1)
+        pose = res2.pose
+
+        found_mask = jnp.zeros((m.max_points,), bool).at[
+            jnp.clip(assoc, 0)].max(assoc >= 0)
+
+        velocity = se3_compose(pose, se3_inverse(st.pose))
+        new_st = TrackState(
+            pose=pose, velocity=velocity,
+            vel_ok=st.ok,
+            assoc=assoc,
+            n_inliers=res2.n_inliers,
+            ok=res2.n_inliers >= tcfg.min_inliers_local,
+        )
+        return new_st, res1.n_inliers, res2.n_inliers, visible_mask, found_mask
+
+    return track_step
+
+
+def build_create_keyframe(cfg: SlamConfig, max_new_points: int = 512):
+    """Compile keyframe insertion (also the RGB-D/stereo initializer).
+
+    jitted fn: (m, frame, pose, assoc, frame_id, kf_seq, parent) ->
+      (m, kf_slot, ok)
+    """
+    cam = cfg.camera
+    close_depth = cfg.tracking.th_depth
+
+    @jax.jit
+    def create_keyframe(m: MapState, frame: FrameData, pose, assoc,
+                        frame_id, kf_seq, parent):
+        kf_slots, kf_ok = allocate_slots(m.kf_valid, 1)
+        k = kf_slots[0]
+        ok = kf_ok[0]
+
+        # new map points from depth: unmatched valid features with
+        # usable depth (CreateNewKeyFrame's close-point synthesis [U])
+        new_src = (frame.valid & (assoc < 0) & (frame.depth > 0.1)
+                   & (frame.depth < close_depth))
+        # priority to closest points, like the reference's depth sort
+        order = jnp.argsort(jnp.where(new_src, frame.depth, jnp.inf),
+                            stable=True)[:max_new_points]
+        src_ok = new_src[order]
+        pt_slots, pt_free = allocate_slots(m.pt_valid, max_new_points)
+        create = src_ok & pt_free & ok
+
+        f_uv = frame.uv[order]
+        f_depth = frame.depth[order]
+        x = (f_uv[:, 0] - cam.cx) / cam.fx * f_depth
+        y = (f_uv[:, 1] - cam.cy) / cam.fy * f_depth
+        pc = jnp.stack([x, y, f_depth], axis=-1)
+        Twc = se3_inverse(pose)
+        pw = se3_apply(Twc, pc)
+        ow = _cam_center(pose)
+        vec = pw - ow[None]
+        dist = jnp.linalg.norm(vec, axis=-1)
+        normal = vec / jnp.maximum(dist[:, None], 1e-9)
+        lv = frame.level[order].astype(jnp.float32)
+        max_d = dist * (1.2 ** lv)
+        min_d = max_d / (1.2 ** 7)
+
+        def wr(arr, idx, val, mask):
+            return arr.at[idx].set(jnp.where(
+                mask.reshape((-1,) + (1,) * (val.ndim - 1)), val, arr[idx]))
+
+        m = m._replace(
+            pt_xyz=wr(m.pt_xyz, pt_slots, pw, create),
+            pt_desc=wr(m.pt_desc, pt_slots, frame.desc[order], create),
+            pt_normal=wr(m.pt_normal, pt_slots, normal, create),
+            pt_min_dist=wr(m.pt_min_dist, pt_slots, min_d, create),
+            pt_max_dist=wr(m.pt_max_dist, pt_slots, max_d, create),
+            pt_valid=m.pt_valid.at[pt_slots].set(
+                jnp.where(create, True, m.pt_valid[pt_slots])),
+            pt_visible=wr(m.pt_visible, pt_slots,
+                          jnp.ones_like(pt_slots), create),
+            pt_found=wr(m.pt_found, pt_slots,
+                        jnp.ones_like(pt_slots), create),
+            pt_first_kf=wr(m.pt_first_kf, pt_slots,
+                           jnp.full_like(pt_slots, kf_seq), create),
+        )
+
+        # keyframe record: existing assoc + newly created points
+        kf_point = assoc
+        kf_point = kf_point.at[order].set(
+            jnp.where(create, pt_slots, kf_point[order]))
+        m = m._replace(
+            kf_pose=m.kf_pose.at[k].set(jnp.where(ok, pose, m.kf_pose[k])),
+            kf_valid=m.kf_valid.at[k].set(ok | m.kf_valid[k]),
+            kf_frame_id=m.kf_frame_id.at[k].set(
+                jnp.where(ok, frame_id, m.kf_frame_id[k])),
+            kf_uv=m.kf_uv.at[k].set(jnp.where(ok, frame.uv, m.kf_uv[k])),
+            kf_ur=m.kf_ur.at[k].set(jnp.where(ok, frame.ur, m.kf_ur[k])),
+            kf_level=m.kf_level.at[k].set(
+                jnp.where(ok, frame.level, m.kf_level[k])),
+            kf_angle=m.kf_angle.at[k].set(
+                jnp.where(ok, frame.angle, m.kf_angle[k])),
+            kf_desc=m.kf_desc.at[k].set(
+                jnp.where(ok, frame.desc, m.kf_desc[k])),
+            kf_feat_valid=m.kf_feat_valid.at[k].set(
+                jnp.where(ok, frame.valid, m.kf_feat_valid[k])),
+            kf_depth=m.kf_depth.at[k].set(
+                jnp.where(ok, frame.depth, m.kf_depth[k])),
+            kf_point=m.kf_point.at[k].set(
+                jnp.where(ok, kf_point, m.kf_point[k])),
+            kf_parent=m.kf_parent.at[k].set(
+                jnp.where(ok, parent, m.kf_parent[k])),
+        )
+        return m, k, ok
+
+    return create_keyframe
+
+
+def apply_visibility_counters(m: MapState, visible_mask, found_mask
+                              ) -> MapState:
+    """IncreaseVisible / IncreaseFound (MapPoint culling signals [U])."""
+    return m._replace(
+        pt_visible=m.pt_visible + visible_mask.astype(jnp.int32),
+        pt_found=m.pt_found + found_mask.astype(jnp.int32),
+    )

@@ -1,0 +1,102 @@
+"""End-to-end RGB-D pipeline on a synthetic sequence with ground truth.
+
+The phase-4 'minimum slice' acceptance (SURVEY.md §7.3): track a
+synthetic RGB-D camera through a textured world, then ATE-align the
+estimated trajectory to ground truth and assert a tight bound.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from active_orb_slam2_tpu.config import (
+    MapConfig, OrbConfig, SlamConfig, TrackingConfig)
+from active_orb_slam2_tpu.geometry import CameraParams, umeyama_alignment
+from active_orb_slam2_tpu.io.synthetic import (
+    default_world, make_sequence, orbit_trajectory)
+from active_orb_slam2_tpu.io.trajectory import camera_centers
+from active_orb_slam2_tpu.models.system import OK, System
+
+# small image for CPU test speed
+CAM = CameraParams(fx=260.0, fy=260.0, cx=159.5, cy=119.5, bf=20.8,
+                   width=320, height=240)
+CFG = SlamConfig(
+    camera=CAM,
+    orb=OrbConfig(n_features=512, n_levels=4),
+    tracking=TrackingConfig(th_depth=8.0),
+    map=MapConfig(max_keyframes=32, max_points=8192,
+                  local_ba_keyframes=8, local_ba_points=2048),
+)
+N_FRAMES = 30
+
+
+@pytest.fixture(scope="module")
+def run_result():
+    slam = System(CFG)
+    gt_centers = []
+    for gray, depth, Twc in make_sequence(
+            N_FRAMES, CAM, world=default_world(),
+            trajectory=orbit_trajectory(N_FRAMES, step_deg=2.0)):
+        slam.track_rgbd(gray, depth, timestamp=len(gt_centers) / 30.0)
+        gt_centers.append(Twc[:3, 3])
+    return slam, np.stack(gt_centers)
+
+
+def test_initializes_and_tracks(run_result):
+    slam, _ = run_result
+    assert slam.state == OK
+    assert slam.kf_seq >= 1
+    assert int(np.asarray(slam.map.pt_valid.sum())) > 200
+    # tracking healthy at the end
+    assert int(slam.track.n_inliers) > 50
+
+
+def test_ate_bound(run_result):
+    slam, gt = run_result
+    ts, poses = slam.frame_trajectory()
+    est = camera_centers(poses)
+    assert est.shape[0] == N_FRAMES
+    _, _, _, _, rmse = umeyama_alignment(
+        jnp.array(est), jnp.array(gt), fix_scale=True)
+    ate = float(rmse)
+    # RGB-D with exact depth: should track to a few mm
+    assert ate < 0.05, f"ATE {ate:.4f} m"
+
+
+def test_keyframes_created(run_result):
+    slam, _ = run_result
+    assert 2 <= slam.kf_seq <= 25
+    # covisibility-connected: every non-root KF has a parent
+    parents = np.asarray(slam.map.kf_parent)
+    valid = np.asarray(slam.map.kf_valid)
+    slots = np.where(valid)[0]
+    assert (parents[slots[1:]] >= 0).all()
+
+
+def test_trajectory_io(tmp_path, run_result):
+    slam, _ = run_result
+    p_tum = tmp_path / "traj.txt"
+    p_kitti = tmp_path / "traj_kitti.txt"
+    slam.save_trajectory_tum(str(p_tum))
+    slam.save_trajectory_kitti(str(p_kitti))
+    tum = np.loadtxt(p_tum)
+    assert tum.shape == (N_FRAMES, 8)
+    # quaternions are unit
+    np.testing.assert_allclose(
+        np.linalg.norm(tum[:, 4:8], axis=1), 1.0, atol=1e-5)
+    kitti = np.loadtxt(p_kitti)
+    assert kitti.shape == (N_FRAMES, 12)
+    # rotation part orthonormal
+    R = kitti[0].reshape(3, 4)[:, :3]
+    np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-5)
+
+
+def test_checkpoint_roundtrip(run_result):
+    slam, _ = run_result
+    ck = slam.checkpoint()
+    slam2 = System(CFG)
+    slam2.restore(ck)
+    np.testing.assert_array_equal(
+        np.asarray(slam2.map.pt_valid), np.asarray(slam.map.pt_valid))
+    np.testing.assert_allclose(
+        np.asarray(slam2.map.kf_pose), np.asarray(slam.map.kf_pose))
