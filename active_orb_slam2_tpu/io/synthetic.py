@@ -140,6 +140,24 @@ def orbit_trajectory(n_frames: int, radius: float = 1.2,
     return poses
 
 
+def loop_trajectory(n_frames: int, radius: float = 1.5):
+    """Closed circle in the xz-plane with tangent heading (drives a loop
+    and returns exactly to the start — the loop-closure fixture)."""
+    poses = []
+    for i in range(n_frames):
+        th = 2.0 * np.pi * i / (n_frames - 1)
+        pos = np.array([radius * np.sin(th), 0.0,
+                        -radius * np.cos(th)], np.float32)
+        fwd = np.array([np.cos(th), 0.0, np.sin(th)], np.float32)
+        up = np.array([0.0, 1.0, 0.0], np.float32)
+        right = np.cross(up, fwd)
+        right /= np.linalg.norm(right)
+        T = np.eye(4, dtype=np.float32)
+        T[:3, 0], T[:3, 1], T[:3, 2], T[:3, 3] = right, up, fwd, pos
+        poses.append(T)
+    return poses
+
+
 def make_sequence(n_frames: int, cam: CameraParams, world=None,
                   trajectory=None):
     """Generator of (gray, depth, Twc_gt) frames."""

@@ -1,0 +1,437 @@
+"""Loop closing: detection, Sim3 verification, correction, pose graph,
+global BA.
+
+TPU-native redesign of the reference's loop thread
+(``src/LoopClosing.cc``, SURVEY.md §3.4):
+
+  * ``DetectLoop`` (~L90): BoW score against all keyframes at once
+    (dense [K, W] matvec), min-score from covisible neighbours, the
+    3-consecutive-group consistency check kept as tiny host state.
+  * ``ComputeSim3`` (~L190): SearchByBoW -> MXU Hamming matrix over the
+    two keyframes' features; batched Horn RANSAC (models/sim3_solver);
+    guided re-search of the loop neighbourhood's points.
+  * ``CorrectLoop`` (~L340): Sim3 propagation to the covisible group,
+    point transformation, SearchAndFuse with point replacement via a
+    global substitution map, essential-graph optimization, then
+    bounded-iteration global BA (the reference's background GBA thread
+    becomes a deterministic synchronous slice — SURVEY.md §5.3).
+"""
+
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from active_orb_slam2_tpu.config import SlamConfig
+from active_orb_slam2_tpu.geometry.projection import project_stereo
+from active_orb_slam2_tpu.geometry.se3 import (
+    se3_apply, se3_compose, se3_inverse, sim3_apply, sim3_compose,
+    sim3_from_se3, sim3_inverse, sim3_to_se3)
+from active_orb_slam2_tpu.models.map_state import (
+    MapState, covisibility_weights)
+from active_orb_slam2_tpu.models.pose_graph import (
+    build_essential_edges, optimize_essential_graph)
+from active_orb_slam2_tpu.models.sim3_solver import sim3_ransac
+from active_orb_slam2_tpu.models.vocabulary import (
+    Vocabulary, detect_candidates, l1_score, transform)
+from active_orb_slam2_tpu.ops.matching import hamming_matrix, match_mutual
+from active_orb_slam2_tpu.parallel.dist_ba import (
+    build_point_major_edges, global_ba)
+
+
+class LoopCloser:
+    """Host orchestrator for loop closing.  Owns the vocabulary (trained
+    lazily from map descriptors) and the consistency state."""
+
+    def __init__(self, cfg: SlamConfig, consistency_th: int = 3,
+                 vocab_k: int = 8, vocab_depth: int = 3,
+                 min_sim3_matches: int = 20, min_total_matches: int = 40,
+                 gba_iters: int = 10, recent_frames_guard: int = 30):
+        self.cfg = cfg
+        self.vocab: Optional[Vocabulary] = None
+        self.vocab_k = vocab_k
+        self.vocab_depth = vocab_depth
+        self.consistency_th = consistency_th
+        self.min_sim3_matches = min_sim3_matches
+        self.min_total_matches = min_total_matches
+        self.gba_iters = gba_iters
+        self.prev_groups = []          # list of np bool [K] accept sets
+        self.fix_scale = cfg.sensor in ("stereo", "rgbd")
+        self.last_loop_kf_seq = -10
+        self.recent_frames_guard = recent_frames_guard
+        self.loop_edges = []           # [(i, j)] closed loops
+        self._key = jax.random.PRNGKey(7)
+
+    # ------------------------------------------------------------ vocabulary
+
+    def ensure_vocabulary(self, m: MapState, min_kfs: int = 4):
+        """Train the vocabulary once enough keyframes exist; returns the
+        [K, W] BoW matrix for all valid KFs (recomputed fresh — cheap)."""
+        n_kf = int(np.asarray(m.kf_valid.sum()))
+        if self.vocab is None:
+            if n_kf < min_kfs:
+                return None
+            desc = np.asarray(m.kf_desc)[np.asarray(m.kf_valid)]
+            fv = np.asarray(m.kf_feat_valid)[np.asarray(m.kf_valid)]
+            train = desc[fv][:20000]
+            self.vocab = train_vocab_cached(
+                train, self.vocab_k, self.vocab_depth)
+        return self.vocab
+
+    def kf_bows(self, m: MapState):
+        voc = self.vocab
+
+        @jax.jit
+        def all_bows(desc, valid):
+            def one(d, v):
+                _, bow = transform(voc, d, v)
+                return bow
+            return jax.vmap(one)(desc, valid)
+        return all_bows(m.kf_desc, m.kf_feat_valid & m.kf_valid[:, None])
+
+    # ------------------------------------------------------------- detection
+
+    def detect(self, m: MapState, cur_kf: int):
+        """Returns loop-candidate KF slot or -1."""
+        if self.ensure_vocabulary(m) is None:
+            return -1, None
+        bows = self.kf_bows(m)
+        W = covisibility_weights(m)
+        covis_row = np.asarray(W[cur_kf])
+        covis_mask = covis_row >= self.cfg.map.covis_min_weight
+        covis_mask[cur_kf] = True
+        neighbors = covis_row > 0
+        scores_all = np.asarray(l1_score(bows[cur_kf], bows))
+        if neighbors.any():
+            min_score = max(float(scores_all[neighbors].min()), 0.02)
+        else:
+            min_score = 0.05
+        # temporal guard: never match very recent keyframes (the covis
+        # exclusion is the principled filter; this is a small margin)
+        recent = np.asarray(m.kf_frame_id) >= (
+            int(np.asarray(m.kf_frame_id[cur_kf]))
+            - self.recent_frames_guard)
+        _, accept = detect_candidates(
+            bows[cur_kf], bows, m.kf_valid & jnp.asarray(~recent),
+            jnp.asarray(covis_mask), min_score,
+            covis_weights=W)
+        accept = np.asarray(accept)
+        if not accept.any():
+            self.prev_groups.append(accept)
+            return -1, None
+        # 3-consecutive consistency: candidate (or covis neighbour)
+        # present in the previous consistency_th-1 accept sets
+        Wnp = np.asarray(W) > 0
+        consistent = accept.copy()
+        for prev in self.prev_groups[-(self.consistency_th - 1):]:
+            grown = prev | (Wnp[prev].any(axis=0) if prev.any()
+                            else np.zeros_like(prev))
+            consistent &= grown
+        self.prev_groups.append(accept)
+        if len(self.prev_groups) < self.consistency_th or not consistent.any():
+            return -1, None
+        cand = int(np.argmax(np.where(consistent, scores_all, -1)))
+        return cand, bows
+
+    # ---------------------------------------------------------------- verify
+
+    def compute_sim3(self, m: MapState, cur_kf: int, loop_kf: int):
+        """SearchByBoW + Sim3 RANSAC + guided SearchBySim3 re-match +
+        refit (the reference's full ComputeSim3 ladder ~L190-330 [U]).
+        Returns (ok, S_cm [8]) mapping loop-KF camera coords ->
+        current-KF camera coords."""
+        res = _sim3_between(m, cur_kf, loop_kf, self.cfg,
+                            self._key, self.fix_scale)
+        self._key, _ = jax.random.split(self._key)
+        n = int(res.n_inliers)
+        if n < self.min_sim3_matches:
+            return False, None, n
+        s_ref, n_total = _sim3_guided_refine(
+            m, jnp.asarray(cur_kf), jnp.asarray(loop_kf), res.sim3_ab,
+            self.cfg.camera, self.fix_scale)
+        n_total = int(n_total)
+        if n_total < self.min_total_matches:
+            return False, None, n_total
+        return True, s_ref, n_total
+
+    # --------------------------------------------------------------- correct
+
+    def correct(self, m: MapState, cur_kf: int, loop_kf: int, s_cm):
+        """Full loop correction; returns the corrected map."""
+        kf_seq_guard = None
+        pre_sim3 = sim3_from_se3(m.kf_pose)                # [K, 8]
+        corrected_scur = sim3_compose(
+            s_cm, sim3_from_se3(m.kf_pose[loop_kf]))
+
+        W = covisibility_weights(m)
+        group = np.asarray(W[cur_kf]) >= self.cfg.map.covis_min_weight
+        group[cur_kf] = True
+        group = jnp.asarray(group) & m.kf_valid
+
+        m = _apply_sim3_correction(m, pre_sim3, corrected_scur,
+                                   jnp.asarray(cur_kf), group)
+        m = _fuse_loop_points(m, jnp.asarray(cur_kf), jnp.asarray(loop_kf),
+                              group, self.cfg)
+
+        # essential graph: measurements from pre-correction poses,
+        # vertices start at current (partly corrected) poses
+        self.loop_edges.append((int(loop_kf), int(cur_kf)))
+        max_loop = 32
+        li = np.full(max_loop, -1, np.int32)
+        lj = np.full(max_loop, -1, np.int32)
+        for n, (a, b) in enumerate(self.loop_edges[:max_loop]):
+            li[n], lj[n] = a, b
+        edges = build_essential_edges(
+            pre_sim3, m.kf_valid, m.kf_parent, W,
+            jnp.asarray(li), jnp.asarray(lj))
+        # overwrite the loop-edge measurement with the verified Sim3
+        loop_rel = sim3_compose(corrected_scur,
+                                sim3_inverse(pre_sim3[loop_kf]))
+        E_tree_cov = edges.meas_ji.shape[0] - max_loop
+        edges = edges._replace(meas_ji=edges.meas_ji.at[E_tree_cov].set(
+            loop_rel))
+
+        cur_sim3 = sim3_from_se3(m.kf_pose)
+        fixed = jnp.zeros(m.max_keyframes, bool).at[loop_kf].set(True)
+        fixed = fixed | ~m.kf_valid
+        opt_sim3, _ = optimize_essential_graph(cur_sim3, edges, fixed)
+        m = _apply_posegraph_result(m, cur_sim3, opt_sim3)
+
+        # bounded global BA slice (the reference's background GBA)
+        pedges = build_point_major_edges(m)
+        gba_fixed = jnp.zeros(m.max_keyframes, bool).at[loop_kf].set(True)
+        poses, pts, _ = global_ba(
+            self.cfg.camera, m.kf_pose, m.kf_valid, m.pt_xyz, m.pt_valid,
+            pedges, gba_fixed, iters=self.gba_iters)
+        m = m._replace(kf_pose=poses, pt_xyz=pts)
+        return m
+
+    # ------------------------------------------------------------------ main
+
+    def process_keyframe(self, m: MapState, cur_kf: int, kf_seq: int):
+        """Run the full detect -> verify -> correct pipeline for a new
+        keyframe.  Returns (map, closed: bool)."""
+        if kf_seq - self.last_loop_kf_seq < 10:   # reference: 10-KF cooldown
+            self.prev_groups.append(np.zeros(m.max_keyframes, bool))
+            return m, False
+        cand, _ = self.detect(m, cur_kf)
+        if cand < 0:
+            return m, False
+        ok, s_cm, n = self.compute_sim3(m, cur_kf, cand)
+        if not ok:
+            return m, False
+        m = self.correct(m, cur_kf, cand, s_cm)
+        self.last_loop_kf_seq = kf_seq
+        return m, True
+
+
+# ---------------------------------------------------------------- jitted ops
+
+_vocab_cache = {}
+
+
+def train_vocab_cached(descs, k, depth):
+    from active_orb_slam2_tpu.models.vocabulary import train_vocabulary
+    key = (descs.shape[0], k, depth, int(descs[:16].sum()))
+    if key not in _vocab_cache:
+        _vocab_cache[key] = train_vocabulary(descs, k=k, depth=depth)
+    return _vocab_cache[key]
+
+
+@jax.jit
+def _sim3_match_data(m: MapState, cur_kf, loop_kf):
+    """SearchByBoW between two KFs restricted to features with map
+    points; returns camera-frame 3D pairs + pixels for the RANSAC."""
+    da = m.kf_desc[cur_kf]
+    db = m.kf_desc[loop_kf]
+    va = m.kf_feat_valid[cur_kf] & (m.kf_point[cur_kf] >= 0)
+    vb = m.kf_feat_valid[loop_kf] & (m.kf_point[loop_kf] >= 0)
+    d = hamming_matrix(da, db, va, vb)
+    idx, dist = match_mutual(d, max_dist=50.0, ratio=0.75)
+    matched = idx >= 0
+    fb = jnp.clip(idx, 0)
+    pa = jnp.clip(m.kf_point[cur_kf], 0)
+    pb = jnp.clip(m.kf_point[loop_kf][fb], 0)
+    ok = matched & m.pt_valid[pa] & m.pt_valid[pb]
+    xyz_a = se3_apply(m.kf_pose[cur_kf], m.pt_xyz[pa])
+    xyz_b = se3_apply(m.kf_pose[loop_kf], m.pt_xyz[pb])
+    uv_a = m.kf_uv[cur_kf]
+    uv_b = m.kf_uv[loop_kf][fb]
+    s2_a = 1.2 ** (2.0 * m.kf_level[cur_kf].astype(jnp.float32))
+    s2_b = 1.2 ** (2.0 * m.kf_level[loop_kf][fb].astype(jnp.float32))
+    return xyz_a, xyz_b, uv_a, uv_b, s2_a, s2_b, ok
+
+
+import functools
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def _sim3_guided_refine(m: MapState, cur_kf, loop_kf, s_cm, cam,
+                        fix_scale):
+    """Guided SearchBySim3 (reference ~L280 [U]) + weighted-Horn refit:
+    project the loop KF's points through the current Sim3 into the
+    current KF, re-match with a radius gate, refit on all inliers."""
+    from active_orb_slam2_tpu.ops.matching import search_by_projection
+    from active_orb_slam2_tpu.geometry.horn import horn_align
+    F = m.n_features
+    pb = jnp.clip(m.kf_point[loop_kf], 0)
+    ok_b = m.kf_feat_valid[loop_kf] & (m.kf_point[loop_kf] >= 0) \
+        & m.pt_valid[pb]
+    xyz_b = se3_apply(m.kf_pose[loop_kf], m.pt_xyz[pb])    # loop cam frame
+    proj = sim3_apply(s_cm, xyz_b)                         # -> cur cam frame
+    z = proj[:, 2]
+    uv = jnp.stack([cam.fx * proj[:, 0] / jnp.maximum(z, 1e-6) + cam.cx,
+                    cam.fy * proj[:, 1] / jnp.maximum(z, 1e-6) + cam.cy],
+                   axis=-1)
+    ok_b &= (z > 0.2)
+    cur_has_pt = m.kf_feat_valid[cur_kf] & (m.kf_point[cur_kf] >= 0)
+    idx, dist = search_by_projection(
+        uv, jnp.full((F,), 7.5), m.kf_level[loop_kf],
+        m.pt_desc[pb], ok_b,
+        m.kf_uv[cur_kf], m.kf_level[cur_kf], m.kf_desc[cur_kf],
+        cur_has_pt, max_dist=100.0, ratio=1.0, level_window=8)
+    matched = (idx >= 0) & ok_b
+    fa = jnp.clip(idx, 0)
+    pa = jnp.clip(m.kf_point[cur_kf][fa], 0)
+    matched &= m.pt_valid[pa]
+    xyz_a = se3_apply(m.kf_pose[cur_kf], m.pt_xyz[pa])
+    w = matched.astype(jnp.float32)
+    q, t, s = horn_align(xyz_b, xyz_a, weights=w, fix_scale=fix_scale)
+    s_ref = jnp.concatenate([q, t, s[None]])
+    # fall back to the RANSAC estimate if the guided set is tiny
+    n = matched.sum()
+    use = n >= 20
+    s_out = jnp.where(use, s_ref, s_cm)
+    return s_out, n
+
+
+def _sim3_between(m, cur_kf, loop_kf, cfg, key, fix_scale):
+    xyz_a, xyz_b, uv_a, uv_b, s2a, s2b, ok = _sim3_match_data(
+        m, jnp.asarray(cur_kf), jnp.asarray(loop_kf))
+    return sim3_ransac(key, cfg.camera, xyz_a, xyz_b, uv_a, uv_b,
+                       s2a, s2b, ok, fix_scale=fix_scale)
+
+
+@jax.jit
+def _apply_sim3_correction(m: MapState, pre_sim3, corrected_scur,
+                           cur_kf, group_mask):
+    """Propagate the verified Sim3 to the covisible group and transform
+    their points (CorrectLoop's first half [U])."""
+    K = m.max_keyframes
+    # per-KF corrected sim3: S_i_corr = (S_i S_cur^-1) corrected_scur
+    rel = jax.vmap(lambda s: sim3_compose(
+        s, sim3_inverse(pre_sim3[cur_kf])))(pre_sim3)
+    corrected = jax.vmap(lambda r: sim3_compose(r, corrected_scur))(rel)
+    new_sim3 = jnp.where(group_mask[:, None], corrected, pre_sim3)
+
+    # transform points via their anchor = lowest-slot observing group KF
+    pt = jnp.clip(m.kf_point, 0)
+    obs = (m.kf_point >= 0) & group_mask[:, None] & m.kf_valid[:, None]
+    slot_mat = jnp.where(obs, jnp.arange(K)[:, None], K)
+    anchor = jnp.full((m.max_points,), K, jnp.int32).at[
+        pt.ravel()].min(slot_mat.ravel())
+    has_anchor = anchor < K
+    anchor_c = jnp.clip(anchor, 0, K - 1)
+    p_cam = jax.vmap(sim3_apply)(pre_sim3[anchor_c], m.pt_xyz)
+    p_new = jax.vmap(sim3_apply)(
+        jax.vmap(sim3_inverse)(new_sim3[anchor_c]), p_cam)
+    new_xyz = jnp.where((has_anchor & m.pt_valid)[:, None], p_new,
+                        m.pt_xyz)
+
+    new_pose = jnp.where(group_mask[:, None],
+                         jax.vmap(sim3_to_se3)(new_sim3), m.kf_pose)
+    return m._replace(kf_pose=new_pose, pt_xyz=new_xyz)
+
+
+def _build_fuse(cfg: SlamConfig, n_loop_pts: int = 2048):
+    cam = cfg.camera
+
+    @jax.jit
+    def fuse(m: MapState, cur_kf, loop_kf, group_mask):
+        """SearchAndFuse (~L340 [U]): project loop-neighbourhood points
+        into the corrected current KF; duplicates replaced globally."""
+        K = m.max_keyframes
+        W = covisibility_weights(m)
+        loop_group = (W[loop_kf] > 0) | (
+            jnp.arange(K) == loop_kf)
+        lp_src = jnp.clip(m.kf_point, 0)
+        lp_obs = (m.kf_point >= 0) & loop_group[:, None] & m.kf_valid[:, None]
+        loop_pts_mask = jnp.zeros((m.max_points,), bool).at[
+            lp_src.ravel()].max(lp_obs.ravel()) & m.pt_valid
+        cand = jnp.argsort(~loop_pts_mask, stable=True)[:n_loop_pts]
+        cand_ok = loop_pts_mask[cand]
+
+        # project into current KF
+        pose = m.kf_pose[cur_kf]
+        uvr, z = project_stereo(cam, se3_apply(pose, m.pt_xyz[cand]))
+        inb = ((z > 0.2) & (uvr[:, 0] >= 0) & (uvr[:, 0] < cam.width)
+               & (uvr[:, 1] >= 0) & (uvr[:, 1] < cam.height))
+        ok = cand_ok & inb
+
+        from active_orb_slam2_tpu.ops.matching import search_by_projection
+        idx, dist = search_by_projection(
+            uvr[:, :2], jnp.full(cand.shape, 6.0),
+            jnp.zeros(cand.shape, jnp.int32),
+            m.pt_desc[cand], ok,
+            m.kf_uv[cur_kf], m.kf_level[cur_kf], m.kf_desc[cur_kf],
+            m.kf_feat_valid[cur_kf],
+            max_dist=50.0, ratio=1.0, level_window=8)
+        matched = (idx >= 0) & ok
+        feat = jnp.clip(idx, 0)
+        old_pt = m.kf_point[cur_kf][feat]
+
+        # replacement map: old current-side point -> loop point
+        rep = jnp.arange(m.max_points, dtype=jnp.int32)
+        dup = matched & (old_pt >= 0) & (old_pt != cand)
+        rep = rep.at[jnp.where(dup, old_pt, 0)].set(
+            jnp.where(dup, cand, rep[jnp.where(dup, old_pt, 0)]))
+        rep = rep.at[0].set(jnp.where(
+            dup[0] & (old_pt[0] == 0), cand[0], rep[0]))
+        # apply substitution across the whole forward store
+        kfp = m.kf_point
+        kfp = jnp.where(kfp >= 0, rep[jnp.clip(kfp, 0)], kfp)
+        # invalidate replaced points
+        replaced = jnp.zeros((m.max_points,), bool).at[
+            jnp.where(dup, old_pt, 0)].max(dup)
+        replaced = replaced.at[0].set(replaced[0] & dup.any())
+        pt_valid = m.pt_valid & ~replaced
+
+        # new observations where the feature had no point
+        add = matched & (old_pt < 0)
+        kfp = kfp.at[cur_kf, feat].set(
+            jnp.where(add, cand, kfp[cur_kf, feat]))
+        return m._replace(kf_point=kfp, pt_valid=pt_valid)
+
+    return fuse
+
+
+_fuse_cache = {}
+
+
+def _fuse_loop_points(m, cur_kf, loop_kf, group_mask, cfg):
+    key = id(cfg)
+    if key not in _fuse_cache:
+        _fuse_cache[key] = _build_fuse(cfg)
+    return _fuse_cache[key](m, cur_kf, loop_kf, group_mask)
+
+
+@jax.jit
+def _apply_posegraph_result(m: MapState, old_sim3, new_sim3):
+    """Write optimized Sim3s back: poses to SE3 (t/s), points moved by
+    their anchor KF's correction (OptimizeEssentialGraph tail [U])."""
+    K = m.max_keyframes
+    pt = jnp.clip(m.kf_point, 0)
+    obs = (m.kf_point >= 0) & m.kf_valid[:, None]
+    slot_mat = jnp.where(obs, jnp.arange(K)[:, None], K)
+    anchor = jnp.full((m.max_points,), K, jnp.int32).at[
+        pt.ravel()].min(slot_mat.ravel())
+    has_anchor = (anchor < K) & m.pt_valid
+    anchor_c = jnp.clip(anchor, 0, K - 1)
+    p_cam = jax.vmap(sim3_apply)(old_sim3[anchor_c], m.pt_xyz)
+    p_new = jax.vmap(sim3_apply)(
+        jax.vmap(sim3_inverse)(new_sim3[anchor_c]), p_cam)
+    new_xyz = jnp.where(has_anchor[:, None], p_new, m.pt_xyz)
+    new_pose = jnp.where(m.kf_valid[:, None],
+                         jax.vmap(sim3_to_se3)(new_sim3), m.kf_pose)
+    return m._replace(kf_pose=new_pose, pt_xyz=new_xyz)

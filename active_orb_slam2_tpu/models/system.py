@@ -39,12 +39,18 @@ class System:
     """RGB-D / stereo-from-depth SLAM engine (monocular lands with the
     initializer module)."""
 
-    def __init__(self, cfg: SlamConfig, use_mapping: bool = True):
+    def __init__(self, cfg: SlamConfig, use_mapping: bool = True,
+                 use_loop_closing: bool = False):
         self.cfg = cfg
         self.make_rgbd, self.make_mono = build_frame_pipeline(cfg)
         self.track_step = build_track_step(cfg)
         self.create_kf = build_create_keyframe(cfg)
         self.mapping_step = build_mapping_step(cfg)
+        self.loop_closer = None
+        if use_loop_closing:
+            from active_orb_slam2_tpu.models.loop_closing import LoopCloser
+            self.loop_closer = LoopCloser(cfg)
+        self.n_loops_closed = 0
         self.map = empty_map(cfg.map, cfg.orb)
         self.track = init_track_state(cfg.orb.n_features)
         self.state = NOT_INITIALIZED
@@ -167,6 +173,15 @@ class System:
         self.track = self.track._replace(assoc=self.map.kf_point[k])
         if self.use_mapping:
             self.map = self.mapping_step(self.map, k, self.kf_seq)
+        if self.loop_closer is not None:
+            self.map, closed = self.loop_closer.process_keyframe(
+                self.map, k, self.kf_seq)
+            if closed:
+                self.n_loops_closed += 1
+                # the KF pose may have jumped: restart the motion model
+                self.track = self.track._replace(
+                    pose=self.map.kf_pose[k],
+                    vel_ok=jnp.array(False))
 
     def _record_frame(self, timestamp, pose):
         ref = max(self.last_kf_slot, 0)

@@ -141,7 +141,10 @@ def build_track_step(cfg: SlamConfig, local_cand: int = 2048):
         mm_ok = res1.n_inliers >= tcfg.min_inliers_track
         assoc1 = jnp.where(mm_ok & res1.inliers, assoc1, -1)
         pose = jnp.where(mm_ok, res1.pose, pred)
-        local_radius = jnp.where(mm_ok, 4.0, 12.0)
+        # reference doubles the search window when the first pass fails
+        # (SearchByProjection th=15 -> 2x, ~L800 [U]); our equivalent is
+        # a wide local-stage radius
+        local_radius = jnp.where(mm_ok, 4.0, 25.0)
 
         # ---- local-map stage --------------------------------------------
         # vote for local KFs through the forward observation store

@@ -1,0 +1,13 @@
+"""Device mesh construction helpers."""
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+
+def make_mesh(n_devices: int = None, axis: str = "shard") -> Mesh:
+    """1-D mesh over the first n_devices (default: all)."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
