@@ -56,16 +56,30 @@ def frame_from_features(feats: OrbFeatures, cam: CameraParams,
 
 
 def build_frame_pipeline(cfg: SlamConfig):
-    """Jitted (image, depth_map?) -> FrameData for the configured camera."""
+    """Jitted (image, depth?) -> (FrameData, n_depth) for the camera.
+
+    Inputs are transfer-optimized: gray may be uint8 and depth uint16
+    millimetres (4x/2x smaller host->device transfers than float32 —
+    significant when the device link is thin); conversion happens
+    on-device inside the jitted program.
+    """
     cam = cfg.camera
     extract = build_extractor(cfg.orb, cam.height, cam.width)
 
     @jax.jit
     def make_rgbd(image, depth_map):
-        return frame_from_features(extract(image), cam, depth_map)
+        img = image.astype(jnp.float32)
+        depth = depth_map.astype(jnp.float32)
+        if depth_map.dtype == jnp.uint16:
+            depth = depth * jnp.float32(1e-3)      # mm -> m
+        frame = frame_from_features(extract(img), cam, depth)
+        n_depth = (frame.valid & (frame.depth > 0.1)).sum()
+        return frame, n_depth.astype(jnp.int32)
 
     @jax.jit
     def make_mono(image):
-        return frame_from_features(extract(image), cam, None)
+        img = image.astype(jnp.float32)
+        frame = frame_from_features(extract(img), cam, None)
+        return frame, jnp.int32(0)
 
     return make_rgbd, make_mono

@@ -141,33 +141,46 @@ def pose_optimization(cam: CameraParams, pose0, pw, obs_uvr, level,
         return c2, zpos
 
     def lm_round(pose, inliers, use_huber):
+        # Damped GN with chi2-carried accept/reject: ONE linearization
+        # per iteration (the current residual doubles as the acceptance
+        # check of the previous step) — half the cost of classic LM at
+        # the same 10-iteration budget.
         def body(carry, _):
-            pose, lam, prev_chi2 = carry
+            pose, best_pose, best_chi2, lam = carry
             r, Jp, _, zpos = _edge_residual_jac(
                 cam, pose, pw, obs_uvr, has_stereo)
             c2 = _edge_chi2(r, w_info, has_stereo)
+            chi2 = jnp.sum(jnp.where(inliers & zpos, c2, 0.0))
+            # acceptance of the PREVIOUS step, judged by this residual
+            worse = chi2 > best_chi2
+            lam = jnp.clip(jnp.where(worse, lam * 4.0, lam * 0.5),
+                           1e-8, 1e2)
+            best_pose = jnp.where(worse, best_pose, pose)
+            best_chi2 = jnp.minimum(chi2, best_chi2)
+            # step from the current linearization when accepted; on a
+            # reject, fall back to the best pose (next iteration then
+            # re-linearizes there under the larger damping)
             w = w_info * _huber_weight(c2, has_stereo, use_huber)
             w = jnp.where(inliers & zpos, w, 0.0)
             H = jnp.einsum('eai,e,eaj->ij', Jp, w, Jp)
             b = -jnp.einsum('eai,e,ea->i', Jp, w, r)
             step = jnp.linalg.solve(
                 H + lam * jnp.diag(jnp.diagonal(H)) + 1e-9 * jnp.eye(6), b)
-            new_pose = se3_retract(pose, step)
-            nr, _, _, nz = _edge_residual_jac(
-                cam, new_pose, pw, obs_uvr, has_stereo)
-            nc2 = _edge_chi2(nr, w_info, has_stereo)
-            new_chi2 = jnp.sum(jnp.where(inliers & nz, nc2, 0.0))
-            old_chi2 = jnp.sum(jnp.where(inliers & zpos, c2, 0.0))
-            accept = new_chi2 <= old_chi2
-            pose = jnp.where(accept, new_pose, pose)
-            lam = jnp.where(accept, lam * 0.5, lam * 4.0)
-            lam = jnp.clip(lam, 1e-8, 1e2)
-            return (pose, lam, jnp.where(accept, new_chi2, old_chi2)), None
+            new_pose = jnp.where(worse, best_pose,
+                                 se3_retract(pose, step))
+            return (new_pose, best_pose, best_chi2, lam), None
 
-        (pose, _, chi2), _ = jax.lax.scan(
-            body, (pose, jnp.float32(1e-4), jnp.float32(0.0)),
+        (cand, pose, chi2, lam), _ = jax.lax.scan(
+            body, (pose, pose, jnp.float32(jnp.inf), jnp.float32(1e-4)),
             None, length=iters_per_round)
-        return pose, chi2
+        # final acceptance of the last proposed step
+        r, _, _, zpos = _edge_residual_jac(cam, cand, pw, obs_uvr,
+                                           has_stereo)
+        c2 = _edge_chi2(r, w_info, has_stereo)
+        cand_chi2 = jnp.sum(jnp.where(inliers & zpos, c2, 0.0))
+        better = cand_chi2 <= chi2
+        return (jnp.where(better, cand, pose),
+                jnp.where(better, cand_chi2, chi2))
 
     pose = pose0
     inliers = valid
@@ -220,11 +233,13 @@ def _ba_linearize(cam, poses, points, e: BAEdges, inliers, use_huber):
 
 def _ba_solve_step(cam, poses, points, e: BAEdges, fixed_cam, inliers,
                    lam, use_huber):
-    """One Schur-reduced GN step. Returns (delta_poses, delta_points)."""
+    """One Schur-reduced GN step.
+    Returns (delta_poses, delta_points, chi2_at_current)."""
     Lt = poses.shape[0]
     Pl = points.shape[0]
-    r, Jc, Jx, w, _, _ = _ba_linearize(cam, poses, points, e, inliers,
-                                       use_huber)
+    r, Jc, Jx, w, c2, zpos = _ba_linearize(cam, poses, points, e, inliers,
+                                           use_huber)
+    chi2 = jnp.sum(jnp.where(inliers & zpos, c2, 0.0))
     # zero camera Jacobians of fixed cameras
     cam_free = ~fixed_cam[e.cam_idx]
     Jc = Jc * cam_free[:, None, None]
@@ -265,7 +280,7 @@ def _ba_solve_step(cam, poses, points, e: BAEdges, fixed_cam, inliers,
     dc = jnp.linalg.solve(S, g).reshape(Lt, 6)
     dp = jnp.einsum('pij,pj->pi',
                     Hpp_inv, bp - jnp.einsum('plik,li->pk', B, dc))
-    return dc, dp
+    return dc, dp, chi2
 
 
 def _embed_diag(blocks):
@@ -297,23 +312,31 @@ def bundle_adjustment(cam: CameraParams, poses0, points0, e: BAEdges,
     chi2_th = jnp.where(e.has_stereo, CHI2_STEREO, CHI2_MONO)
 
     def lm_iters(poses, points, inliers, n, use_huber):
+        # carried-chi2 accept/reject: one linearization per iteration
+        # (the current chi2 judges the previous step)
         def body(carry, _):
-            poses, points, lam = carry
-            dc, dp = _ba_solve_step(cam, poses, points, e, fixed_cam,
-                                    inliers, lam, use_huber)
-            new_poses = jax.vmap(se3_retract)(poses, dc)
-            new_points = points + dp
-            old = _ba_chi2(cam, poses, points, e, inliers)
-            new = _ba_chi2(cam, new_poses, new_points, e, inliers)
-            accept = new <= old
-            poses = jnp.where(accept, new_poses, poses)
-            points = jnp.where(accept, new_points, points)
-            lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0),
+            poses, points, best_p, best_x, best_chi2, lam = carry
+            dc, dp, chi2 = _ba_solve_step(cam, poses, points, e,
+                                          fixed_cam, inliers, lam,
+                                          use_huber)
+            worse = chi2 > best_chi2
+            lam = jnp.clip(jnp.where(worse, lam * 4.0, lam * 0.5),
                            1e-8, 1e2)
-            return (poses, points, lam), None
-        (poses, points, _), _ = jax.lax.scan(
-            body, (poses, points, jnp.float32(1e-4)), None, length=n)
-        return poses, points
+            best_p = jnp.where(worse, best_p, poses)
+            best_x = jnp.where(worse, best_x, points)
+            best_chi2 = jnp.minimum(chi2, best_chi2)
+            new_poses = jnp.where(worse, best_p,
+                                  jax.vmap(se3_retract)(poses, dc))
+            new_points = jnp.where(worse, best_x, points + dp)
+            return (new_poses, new_points, best_p, best_x, best_chi2,
+                    lam), None
+        (cand_p, cand_x, poses, points, best_chi2, _), _ = jax.lax.scan(
+            body, (poses, points, poses, points, jnp.float32(jnp.inf),
+                   jnp.float32(1e-4)), None, length=n)
+        cand_chi2 = _ba_chi2(cam, cand_p, cand_x, e, inliers)
+        better = cand_chi2 <= best_chi2
+        return (jnp.where(better, cand_p, poses),
+                jnp.where(better, cand_x, points))
 
     inliers = e.valid
     poses, points = lm_iters(poses0, points0, inliers, iters_a,

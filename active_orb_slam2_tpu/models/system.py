@@ -51,6 +51,7 @@ class System:
             from active_orb_slam2_tpu.models.loop_closing import LoopCloser
             self.loop_closer = LoopCloser(cfg)
         self.n_loops_closed = 0
+        self.relocalizer = None        # built lazily on first LOST frame
         self.map = empty_map(cfg.map, cfg.orb)
         self.track = init_track_state(cfg.orb.n_features)
         self.state = NOT_INITIALIZED
@@ -71,31 +72,36 @@ class System:
     def track_rgbd(self, gray, depth, timestamp: float):
         """Process one RGB-D frame; returns Tcw as a 4x4 numpy array.
 
-        ``gray`` [H, W] float (0..255); ``depth`` metric depth, 0=missing.
+        ``gray`` [H, W] uint8 or float 0..255; ``depth`` metric float
+        metres (0 = missing) or uint16 millimetres.  Transfers are
+        narrowed to uint8/uint16 on the host side.
         """
-        frame = self.make_rgbd(jnp.asarray(gray, jnp.float32),
-                               jnp.asarray(depth, jnp.float32))
+        g = np.asarray(gray)
+        if g.dtype != np.uint8:
+            g = np.clip(g, 0, 255).astype(np.uint8)
+        d = np.asarray(depth)
+        if d.dtype != np.uint16:
+            d = np.clip(d * 1e3, 0, 65535).astype(np.uint16)
+        frame, n_depth = self.make_rgbd(g, d)
         if self.state == NOT_INITIALIZED:
-            pose = self._initialize(frame, timestamp)
+            pose = self._initialize(frame, int(n_depth), timestamp)
         else:
             pose = self._track_frame(frame, timestamp)
         self.frame_id += 1
         return np.asarray(se3_to_mat44(jnp.asarray(pose)))
 
-    def _initialize(self, frame, timestamp):
+    def _initialize(self, frame, n_depth, timestamp):
         """StereoInitialization (``src/Tracking.cc`` ~L510 [U]): first
         frame with enough depth points becomes KF 0 at the origin."""
-        n_depth = int(np.asarray(
-            (frame.valid & (frame.depth > 0.1)).sum()))
         pose = jnp.asarray(self.track.pose)
         if n_depth < 100:
-            self._record_frame(timestamp, pose)
+            self._record_frame(timestamp, np.asarray(pose))
             return pose
         assoc0 = jnp.full((self.cfg.orb.n_features,), -1, jnp.int32)
         self.map, k, ok = self.create_kf(
             self.map, frame, pose, assoc0, self.frame_id, self.kf_seq, -1)
         if not bool(ok):
-            self._record_frame(timestamp, pose)
+            self._record_frame(timestamp, np.asarray(pose))
             return pose
         self.last_kf_slot = int(k)
         self.kf_seq += 1
@@ -108,31 +114,44 @@ class System:
             assoc=self.map.kf_point[int(k)],
             ok=jnp.array(True))
         self.state = OK
-        self._record_frame(timestamp, pose)
+        self._last_kf_pose_np = np.asarray(self.map.kf_pose[int(k)])
+        self._record_frame(timestamp, np.asarray(pose))
         return pose
 
     def _track_frame(self, frame, timestamp):
-        self.track, n_mm, n_loc, vis_mask, found_mask = self.track_step(
+        if self.state == LOST:
+            if not self._try_relocalize(frame):
+                self.metrics.append({
+                    "frame": self.frame_id, "n_motion_inliers": 0,
+                    "n_inliers": 0, "state": LOST})
+                self._record_frame(timestamp, np.asarray(self.track.pose))
+                return self.track.pose
+        self.track, stats_dev, vis_mask, found_mask = self.track_step(
             self.map, frame, self.track)
         self.map = apply_visibility_counters(self.map, vis_mask, found_mask)
-        n_inliers = int(self.track.n_inliers)
-        pose = self.track.pose
+        # ONE packed device->host pull per frame
+        stats = np.asarray(stats_dev)
+        (n_mm, n_inliers, ok, close_tracked, close_unmatched,
+         n_assoc) = (int(v) for v in stats)
+        pose_np = np.asarray(self.track.pose)
 
         self.metrics.append({
-            "frame": self.frame_id, "n_motion_inliers": int(n_mm),
+            "frame": self.frame_id, "n_motion_inliers": n_mm,
             "n_inliers": n_inliers, "state": int(self.state)})
 
-        if not bool(self.track.ok):
+        if not ok:
             self.state = LOST          # relocalization lands in phase 6
         else:
             self.state = OK
             if (not self.localization_only and self.use_mapping
-                    and self._need_new_keyframe(frame, n_inliers)):
+                    and self._need_new_keyframe(n_inliers, close_tracked,
+                                                close_unmatched)):
                 self._insert_keyframe(frame, timestamp)
-        self._record_frame(timestamp, pose)
-        return pose
+        self._record_frame(timestamp, pose_np)
+        return self.track.pose
 
-    def _need_new_keyframe(self, frame, n_inliers) -> bool:
+    def _need_new_keyframe(self, n_inliers, close_tracked,
+                           close_unmatched) -> bool:
         """``Tracking::NeedNewKeyFrame`` (~L1010 [U]), host-side scalars.
 
         Rules kept: max-interval force; tracked-vs-reference ratio 0.9;
@@ -147,13 +166,6 @@ class System:
         if since >= t.kf_max_interval:
             return True
         weak = n_inliers < t.kf_ref_ratio * max(self.last_kf_inliers, 1)
-        close_unmatched = int(np.asarray((
-            frame.valid & (self.track.assoc < 0) & (frame.depth > 0.1)
-            & (frame.depth < t.th_depth)).sum()))
-        close_tracked = int(np.asarray((
-            frame.valid & (self.track.assoc >= 0)
-            & (frame.depth > 0.1)
-            & (frame.depth < t.th_depth)).sum()))
         need_close = close_tracked < 100 and close_unmatched > 70
         return (weak or need_close) and n_inliers > 15
 
@@ -182,12 +194,58 @@ class System:
                 self.track = self.track._replace(
                     pose=self.map.kf_pose[k],
                     vel_ok=jnp.array(False))
+        # host cache of the reference-KF pose for per-frame Tcr records
+        self._last_kf_pose_np = np.asarray(self.map.kf_pose[k])
 
-    def _record_frame(self, timestamp, pose):
+    def _record_frame(self, timestamp, pose_np):
+        """Store Tcr relative to the reference KF (host-side numpy; the
+        cached ref pose may lag device-side BA updates by millimetres —
+        the same tolerance the reference's mutex interleaving has)."""
+        from active_orb_slam2_tpu.utils import np_se3
         ref = max(self.last_kf_slot, 0)
-        ref_pose = jnp.asarray(self.map.kf_pose[ref])
-        tcr = se3_compose(jnp.asarray(pose), se3_inverse(ref_pose))
-        self.rel_records.append((timestamp, ref, np.asarray(tcr)))
+        ref_pose = getattr(self, "_last_kf_pose_np", None)
+        if ref_pose is None:
+            ref_pose = np.array([1, 0, 0, 0, 0, 0, 0], np.float32)
+        tcr = np_se3.se3_compose(np.asarray(pose_np, np.float64),
+                                 np_se3.se3_inverse(
+                                     np.asarray(ref_pose, np.float64)))
+        self.rel_records.append((timestamp, ref, tcr))
+
+    def _try_relocalize(self, frame) -> bool:
+        """``Tracking::Relocalization`` [U]: BoW candidates -> batched
+        PnP RANSAC -> pose refinement; >= 50 inliers to accept."""
+        import jax
+        if self.relocalizer is None:
+            from active_orb_slam2_tpu.models.relocalization import (
+                build_relocalizer)
+            self.relocalizer = build_relocalizer(self.cfg)
+            self._reloc_key = jax.random.PRNGKey(11)
+
+        n_cand = 4
+        lc = self.loop_closer
+        if lc is not None and lc.ensure_vocabulary(self.map) is not None:
+            from active_orb_slam2_tpu.models.vocabulary import (
+                l1_score, transform)
+            bows = lc.kf_bows(self.map)
+            _, bow_q = transform(lc.vocab, frame.desc, frame.valid)
+            scores = np.asarray(l1_score(bow_q, bows)).copy()
+            scores[~np.asarray(self.map.kf_valid)] = -1.0
+            cands = np.argsort(-scores)[:n_cand].astype(np.int32)
+            cands[scores[cands] <= 0] = -1
+        else:
+            # no vocabulary yet: try the most recent keyframes
+            slots = [k for _, k in self.kf_records[-n_cand:]]
+            cands = np.full(n_cand, -1, np.int32)
+            cands[:len(slots)] = slots[::-1]
+        self._reloc_key, sub = jax.random.split(self._reloc_key)
+        res = self.relocalizer(self.map, frame, jnp.asarray(cands), sub)
+        if not bool(res.ok):
+            return False
+        self.track = self.track._replace(
+            pose=res.pose, assoc=res.assoc,
+            vel_ok=jnp.array(False), ok=jnp.array(True))
+        self.state = OK
+        return True
 
     # ------------------------------------------------------------ mode API
 

@@ -189,14 +189,26 @@ def build_track_step(cfg: SlamConfig, local_cand: int = 2048):
             jnp.clip(assoc, 0)].max(assoc >= 0)
 
         velocity = se3_compose(pose, se3_inverse(st.pose))
+        ok = res2.n_inliers >= tcfg.min_inliers_local
         new_st = TrackState(
             pose=pose, velocity=velocity,
             vel_ok=st.ok,
             assoc=assoc,
             n_inliers=res2.n_inliers,
-            ok=res2.n_inliers >= tcfg.min_inliers_local,
+            ok=ok,
         )
-        return new_st, res1.n_inliers, res2.n_inliers, visible_mask, found_mask
+        # packed per-frame scalars -> ONE device->host pull for all the
+        # host-side decisions (NeedNewKeyFrame etc.) instead of eager
+        # per-frame device ops
+        close = frame.valid & (frame.depth > 0.1) \
+            & (frame.depth < tcfg.th_depth)
+        stats = jnp.stack([
+            res1.n_inliers, res2.n_inliers, ok.astype(jnp.int32),
+            (close & (assoc >= 0)).sum().astype(jnp.int32),
+            (close & (assoc < 0)).sum().astype(jnp.int32),
+            (assoc >= 0).sum().astype(jnp.int32),
+        ])
+        return new_st, stats, visible_mask, found_mask
 
     return track_step
 
@@ -294,6 +306,7 @@ def build_create_keyframe(cfg: SlamConfig, max_new_points: int = 512):
     return create_keyframe
 
 
+@jax.jit
 def apply_visibility_counters(m: MapState, visible_mask, found_mask
                               ) -> MapState:
     """IncreaseVisible / IncreaseFound (MapPoint culling signals [U])."""

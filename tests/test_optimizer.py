@@ -133,8 +133,8 @@ def test_ba_schur_equals_dense_oracle(rng):
     fixed = jnp.array([True, False, False])
     inliers = edges.valid
     lam = jnp.float32(1e-5)
-    dc, dp = _ba_solve_step(CAM, poses_true, pts_true, edges, fixed,
-                            inliers, lam, use_huber=True)
+    dc, dp, _ = _ba_solve_step(CAM, poses_true, pts_true, edges, fixed,
+                               inliers, lam, use_huber=True)
 
     # dense oracle
     r, Jc, Jx, w, _, _ = _ba_linearize(CAM, poses_true, pts_true, edges,
