@@ -101,7 +101,8 @@ def render_rgbd(world: BoxWorld, cam: CameraParams, Twc: np.ndarray,
     t_hit = np.min(t_far, axis=-1)                         # [H, W]
 
     # interior obstacle boxes: entry-point intersection
-    inv_d = np.where(np.abs(dirs_w) < 1e-9, np.inf, 1.0 / dirs_w)
+    with np.errstate(divide="ignore"):
+        inv_d = np.where(np.abs(dirs_w) < 1e-9, np.inf, 1.0 / dirs_w)
     for b in world.boxes:
         ta = (b[0][None, None] - origin) * inv_d
         tb = (b[1][None, None] - origin) * inv_d

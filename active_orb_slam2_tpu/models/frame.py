@@ -83,3 +83,31 @@ def build_frame_pipeline(cfg: SlamConfig):
         return frame, jnp.int32(0)
 
     return make_rgbd, make_mono
+
+
+def build_stereo_pipeline(cfg: SlamConfig):
+    """Jitted (left, right) -> (FrameData, n_depth): extract ORB on both
+    rectified images (the reference spawns two extraction threads,
+    ``Frame`` stereo ctor [U]; here one program covers both), then
+    row-SAD stereo matching (ops/stereo)."""
+    from active_orb_slam2_tpu.ops.stereo import compute_stereo_matches
+    cam = cfg.camera
+    extract = build_extractor(cfg.orb, cam.height, cam.width)
+
+    @jax.jit
+    def make_stereo(left, right):
+        il = left.astype(jnp.float32)
+        ir = right.astype(jnp.float32)
+        fl = extract(il)
+        fr = extract(ir)
+        ur, depth = compute_stereo_matches(cam, fl, fr, il, ir)
+        n = fl.uv.shape[0]
+        frame = FrameData(
+            uv=fl.uv, level=fl.level, angle=fl.angle,
+            response=fl.response, desc=fl.desc, valid=fl.valid,
+            ur=jnp.where(fl.valid, ur, -1.0),
+            depth=jnp.where(fl.valid, depth, 0.0))
+        n_depth = (frame.valid & (frame.depth > 0.1)).sum()
+        return frame, n_depth.astype(jnp.int32)
+
+    return make_stereo

@@ -22,10 +22,271 @@ import jax
 import jax.numpy as jnp
 
 from active_orb_slam2_tpu.config import SlamConfig
+from active_orb_slam2_tpu.geometry.se3 import (
+    quat_conj, quat_rotate, se3_apply, se3_compose, se3_inverse)
+from active_orb_slam2_tpu.geometry.triangulation import triangulate_pairs
 from active_orb_slam2_tpu.models.map_state import (
-    MapState, covisibility_weights, point_observation_count,
-    update_point_stats)
+    MapState, allocate_slots, covisibility_weights,
+    point_observation_count, update_point_stats)
 from active_orb_slam2_tpu.models.optimizer import BAEdges, bundle_adjustment
+from active_orb_slam2_tpu.ops.matching import hamming_matrix, match_mutual
+
+
+def build_create_new_map_points(cfg: SlamConfig, n_neighbors: int = 8,
+                                max_new: int = 512):
+    """Compile triangulation-based point creation for a new keyframe.
+
+    ``LocalMapping::CreateNewMapPoints`` (~L210-360 [U]): for the best
+    covisible neighbours, epipolar-gated matching of yet-unmatched
+    features, batched two-view triangulation, parallax / chirality /
+    reprojection gates, then allocation into the arena with
+    observations written to BOTH keyframes.  Essential for monocular
+    (the only point source) and adds far points for RGB-D/stereo.
+    """
+    cam = cfg.camera
+    K3 = None
+
+    @jax.jit
+    def create_points(m: MapState, kf_slot, kf_seq):
+        F = m.n_features
+        W = covisibility_weights(m)
+        row = jnp.where(m.kf_valid, W[kf_slot], 0).at[kf_slot].set(0)
+        w_n, nbrs = jax.lax.top_k(row, n_neighbors)
+        nbr_ok = (w_n > 0) & m.kf_valid[nbrs]
+
+        pose_k = m.kf_pose[kf_slot]
+        free_k = m.kf_feat_valid[kf_slot] & (m.kf_point[kf_slot] < 0)
+        desc_k = m.kf_desc[kf_slot]
+        uv_k = m.kf_uv[kf_slot]
+
+        def per_neighbor(n, ok_n):
+            pose_n = m.kf_pose[n]
+            free_n = m.kf_feat_valid[n] & (m.kf_point[n] < 0) & ok_n
+            d = hamming_matrix(desc_k, m.kf_desc[n], free_k, free_n)
+            # epipolar gate: x_n^T F_nk x_k = 0; build E from relative
+            # pose then F = K^-T E K^-1
+            T_nk = se3_compose(pose_n, se3_inverse(pose_k))
+            R = _quat_mat(T_nk[:4])
+            t = T_nk[4:7]
+            E = _hat3(t) @ R
+            Kinv = jnp.linalg.inv(cam.K)
+            Fm = Kinv.T @ E @ Kinv
+            p_k = jnp.concatenate([uv_k, jnp.ones((F, 1))], -1)
+            p_n = jnp.concatenate([m.kf_uv[n], jnp.ones((F, 1))], -1)
+            # distance of feature j (in n) to the epipolar line of i (in k)
+            l = p_k @ Fm.T                             # [F, 3] lines in n
+            d_ep = (jnp.einsum('jc,ic->ij', p_n, l) ** 2
+                    / jnp.maximum(l[None, :, 0] ** 2 + l[None, :, 1] ** 2,
+                                  1e-12))             # [F_n(j), F_k(i)]
+            sigma2_n = 1.2 ** (2.0 * m.kf_level[n].astype(jnp.float32))
+            ep_ok = d_ep < (3.84 * sigma2_n)[:, None]
+            d = jnp.where(ep_ok.T, d, 1e9)
+            idx, dist = match_mutual(d, max_dist=50.0, ratio=0.8)
+            matched = idx >= 0
+            uv_n = m.kf_uv[n][jnp.clip(idx, 0)]
+            xw, okt = triangulate_pairs(cam.K, pose_k, pose_n, uv_k, uv_n)
+            # gates
+            pc_k = se3_apply(pose_k, xw)
+            pc_n = se3_apply(pose_n, xw)
+            ow_k = _cam_center(pose_k)
+            ow_n = _cam_center(pose_n)
+            r1 = xw - ow_k
+            r2 = xw - ow_n
+            cosp = jnp.sum(r1 * r2, -1) / jnp.maximum(
+                jnp.linalg.norm(r1, axis=-1)
+                * jnp.linalg.norm(r2, axis=-1), 1e-12)
+            def reproj_err(pc, uv):
+                z = jnp.maximum(pc[:, 2], 1e-6)
+                pr = jnp.stack([cam.fx * pc[:, 0] / z + cam.cx,
+                                cam.fy * pc[:, 1] / z + cam.cy], -1)
+                return jnp.sum((pr - uv) ** 2, -1)
+            s2k = 1.2 ** (2.0 * m.kf_level[kf_slot].astype(jnp.float32))
+            s2n = 1.2 ** (2.0 * m.kf_level[n][jnp.clip(idx, 0)]
+                          .astype(jnp.float32))
+            good = (matched & okt & (pc_k[:, 2] > 0) & (pc_n[:, 2] > 0)
+                    & (cosp < 0.9998)
+                    & (reproj_err(pc_k, uv_k) < 5.991 * s2k)
+                    & (reproj_err(pc_n, uv_n) < 5.991 * s2n))
+            return good, xw, idx
+
+        good, xw, nidx = jax.vmap(per_neighbor)(nbrs, nbr_ok)  # [N, F, ...]
+        # per k-feature: first neighbour with a good triangulation
+        any_good = good.any(0)
+        first_n = jnp.argmax(good, axis=0)                     # [F]
+        sel_xw = jnp.take_along_axis(
+            xw, first_n[None, :, None].repeat(3, -1), axis=0)[0]
+        sel_nidx = jnp.take_along_axis(nidx, first_n[None], axis=0)[0]
+        sel_nbr = nbrs[first_n]
+
+        # allocate (closest-first priority like depth creation)
+        order = jnp.argsort(~any_good, stable=True)[:max_new]
+        src_ok = any_good[order]
+        slots, free = allocate_slots(m.pt_valid, max_new)
+        create = src_ok & free
+
+        f_sel = order
+        pw = sel_xw[f_sel]
+        ow = _cam_center(pose_k)
+        vec = pw - ow[None]
+        dist = jnp.linalg.norm(vec, axis=-1)
+        normal = vec / jnp.maximum(dist[:, None], 1e-9)
+        lv = m.kf_level[kf_slot][f_sel].astype(jnp.float32)
+        max_d = dist * (1.2 ** lv)
+        min_d = max_d / (1.2 ** 7)
+
+        def wr(arr, idx, val, mask):
+            return arr.at[idx].set(jnp.where(
+                mask.reshape((-1,) + (1,) * (val.ndim - 1)), val, arr[idx]))
+
+        m2 = m._replace(
+            pt_xyz=wr(m.pt_xyz, slots, pw, create),
+            pt_desc=wr(m.pt_desc, slots, desc_k[f_sel], create),
+            pt_normal=wr(m.pt_normal, slots, normal, create),
+            pt_min_dist=wr(m.pt_min_dist, slots, min_d, create),
+            pt_max_dist=wr(m.pt_max_dist, slots,
+                           jnp.maximum(max_d, 1e-3), create),
+            pt_valid=m.pt_valid.at[slots].set(
+                jnp.where(create, True, m.pt_valid[slots])),
+            pt_visible=wr(m.pt_visible, slots, jnp.ones_like(slots),
+                          create),
+            pt_found=wr(m.pt_found, slots, jnp.ones_like(slots), create),
+            pt_first_kf=wr(m.pt_first_kf, slots,
+                           jnp.full_like(slots, kf_seq), create),
+        )
+        # observations in the new KF and the chosen neighbour
+        kfp = m2.kf_point
+        kfp = kfp.at[kf_slot, f_sel].set(
+            jnp.where(create, slots, kfp[kf_slot, f_sel]))
+        kfp = kfp.at[sel_nbr[f_sel], jnp.clip(sel_nidx[f_sel], 0)].set(
+            jnp.where(create, slots,
+                      kfp[sel_nbr[f_sel], jnp.clip(sel_nidx[f_sel], 0)]))
+        return m2._replace(kf_point=kfp)
+
+    return create_points
+
+
+def _quat_mat(q):
+    from active_orb_slam2_tpu.geometry.se3 import quat_to_mat
+    return quat_to_mat(q)
+
+
+def _hat3(t):
+    return jnp.array([[0.0, -t[2], t[1]],
+                      [t[2], 0.0, -t[0]],
+                      [-t[1], t[0], 0.0]])
+
+
+def _cam_center(pose):
+    return -quat_rotate(quat_conj(pose[:4]), pose[4:7])
+
+
+def build_keyframe_culling(cfg: SlamConfig, redundancy: float = 0.9):
+    """``LocalMapping::KeyFrameCulling`` (~L520-590 [U]): a covisible KF
+    is redundant when >= 90% of its tracked points are observed by at
+    least 3 other keyframes (the reference adds a same-or-finer-scale
+    condition; divergence: scale check omitted — the redundancy ratio
+    dominates the decision).  At most one KF is culled per call."""
+
+    @jax.jit
+    def cull(m: MapState, kf_slot):
+        K = m.max_keyframes
+        n_obs = point_observation_count(m)
+        pt = jnp.clip(m.kf_point, 0)
+        tracked = (m.kf_point >= 0) & m.pt_valid[pt]
+        redundant_obs = tracked & (n_obs[pt] >= 4)
+        n_tracked = tracked.sum(1)
+        frac = redundant_obs.sum(1) / jnp.maximum(n_tracked, 1)
+        W = covisibility_weights(m)
+        covis = W[kf_slot] >= 15
+        cand = (m.kf_valid & covis & (frac > redundancy)
+                & (n_tracked > 0))
+        # never cull the current KF or slot of origin (kf 0)
+        cand = cand.at[kf_slot].set(False).at[0].set(False)
+        victim = jnp.argmax(frac * cand)
+        do = cand[victim]
+
+        kf_valid = m.kf_valid.at[victim].set(
+            jnp.where(do, False, m.kf_valid[victim]))
+        kfp = m.kf_point.at[victim].set(
+            jnp.where(do, jnp.full((m.n_features,), -1, jnp.int32),
+                      m.kf_point[victim]))
+        # re-parent children onto the victim's parent
+        vparent = m.kf_parent[victim]
+        new_parent = jnp.where(
+            do & (m.kf_parent == victim), vparent, m.kf_parent)
+        return m._replace(kf_valid=kf_valid, kf_point=kfp,
+                          kf_parent=new_parent)
+
+    return cull
+
+
+def build_fuse_neighbors(cfg: SlamConfig, n_neighbors: int = 8,
+                         n_cand: int = 2048):
+    """``LocalMapping::SearchInNeighbors`` (~L370-440 [U]): project the
+    new KF's points into its covisible neighbours and fuse duplicates
+    (keep the older point), adding observations where features were
+    unmatched."""
+    cam = cfg.camera
+    from active_orb_slam2_tpu.geometry.projection import project_stereo
+    from active_orb_slam2_tpu.ops.matching import search_by_projection
+
+    @jax.jit
+    def fuse(m: MapState, kf_slot):
+        # points seen by the new KF
+        src_pts = jnp.clip(m.kf_point[kf_slot], 0)
+        src_ok = (m.kf_point[kf_slot] >= 0) & m.pt_valid[src_pts]
+
+        W = covisibility_weights(m)
+        row = jnp.where(m.kf_valid, W[kf_slot], 0).at[kf_slot].set(0)
+        w_n, nbrs = jax.lax.top_k(row, n_neighbors)
+        nbr_ok = (w_n > 0) & m.kf_valid[nbrs]
+
+        rep = jnp.arange(m.max_points, dtype=jnp.int32)
+        kfp = m.kf_point
+        replaced = jnp.zeros((m.max_points,), bool)
+
+        def body(carry, inp):
+            rep, kfp, replaced = carry
+            n, ok_n = inp
+            pose = m.kf_pose[n]
+            uvr, z = project_stereo(cam, se3_apply(pose, m.pt_xyz[src_pts]))
+            inb = (ok_n & src_ok & (z > 0.2)
+                   & (uvr[:, 0] >= 0) & (uvr[:, 0] < cam.width)
+                   & (uvr[:, 1] >= 0) & (uvr[:, 1] < cam.height))
+            idx, dist = search_by_projection(
+                uvr[:, :2], jnp.full(src_pts.shape, 4.0),
+                jnp.zeros(src_pts.shape, jnp.int32),
+                m.pt_desc[src_pts], inb,
+                m.kf_uv[n], m.kf_level[n], m.kf_desc[n],
+                m.kf_feat_valid[n], max_dist=50.0, ratio=1.0,
+                level_window=8)
+            matched = (idx >= 0) & inb
+            feat = jnp.clip(idx, 0)
+            old = kfp[n][feat]
+            # duplicate: neighbour feature already tracks another point
+            # -> keep the OLDER (lower slot) of the two
+            dup = matched & (old >= 0) & (old != src_pts)
+            keep_old = dup & (old < src_pts)
+            keep_new = dup & ~keep_old
+            rep = rep.at[jnp.where(keep_new, old, 0)].set(
+                jnp.where(keep_new, src_pts, rep[jnp.where(keep_new, old, 0)]))
+            rep = rep.at[jnp.where(keep_old, src_pts, 0)].set(
+                jnp.where(keep_old, old, rep[jnp.where(keep_old, src_pts, 0)]))
+            replaced = replaced.at[jnp.where(keep_new, old, 0)].max(keep_new)
+            replaced = replaced.at[jnp.where(keep_old, src_pts, 0)].max(
+                keep_old)
+            # unmatched feature: add the observation
+            add = matched & (old < 0)
+            kfp = kfp.at[n, feat].set(jnp.where(add, src_pts, kfp[n, feat]))
+            return (rep, kfp, replaced), None
+
+        (rep, kfp, replaced), _ = jax.lax.scan(
+            body, (rep, kfp, replaced), (nbrs, nbr_ok))
+        kfp = jnp.where(kfp >= 0, rep[jnp.clip(kfp, 0)], kfp)
+        pt_valid = m.pt_valid & ~replaced
+        return m._replace(kf_point=kfp, pt_valid=pt_valid)
+
+    return fuse
 
 
 def build_mapping_step(cfg: SlamConfig):
@@ -89,13 +350,16 @@ def build_mapping_step(cfg: SlamConfig):
         cams_ok = jnp.concatenate([local_ok, fixed_ok])
         fixed_flag = jnp.concatenate(
             [jnp.zeros((L,), bool), jnp.ones((Lf,), bool)])
-        # gauge: fix the oldest local cam too (reference fixes KFs with
-        # id 0 / the fixed ring; with no fixed cams the gauge is free)
+        # gauge: with no natural fixed ring (early map: everything is
+        # covisible) a single pinned camera leaves the monocular scale
+        # gauge FREE (points scale about its center); pin the TWO
+        # oldest local cams to fix scale + pose
         any_fixed = fixed_ok.any()
-        oldest = jnp.argmin(jnp.where(
-            local_ok, m.kf_frame_id[local_cams], jnp.int32(2**30)))
-        fixed_flag = fixed_flag.at[oldest].set(
-            fixed_flag[oldest] | ~any_fixed)
+        ages = jnp.where(local_ok, m.kf_frame_id[local_cams],
+                         jnp.int32(2**30))
+        order2 = jnp.argsort(ages)[:2]
+        fixed_flag = fixed_flag.at[order2].set(
+            fixed_flag[order2] | ~any_fixed)
 
         # edges: every (cam, feature) with a selected point
         Lt = L + Lf

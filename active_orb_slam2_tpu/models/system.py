@@ -52,6 +52,22 @@ class System:
             self.loop_closer = LoopCloser(cfg)
         self.n_loops_closed = 0
         self.relocalizer = None        # built lazily on first LOST frame
+
+        # mapping refinement stages (triangulation / fuse / KF culling)
+        from active_orb_slam2_tpu.models.local_mapping import (
+            build_create_new_map_points, build_fuse_neighbors,
+            build_keyframe_culling)
+        self.create_points = build_create_new_map_points(cfg)
+        self.fuse_neighbors = build_fuse_neighbors(cfg)
+        self.kf_culling = build_keyframe_culling(cfg)
+        self.triangulate_new_points = cfg.sensor == "mono"
+
+        # monocular bootstrap (built lazily)
+        self._mono_matcher = None
+        self._mono_create = None
+        self._mono_initializer = None
+        self._ref_frame = None
+        self._init_key = None
         self.map = empty_map(cfg.map, cfg.orb)
         self.track = init_track_state(cfg.orb.n_features)
         self.state = NOT_INITIALIZED
@@ -181,10 +197,16 @@ class System:
         self.last_kf_frame = self.frame_id
         self.last_kf_inliers = int(self.track.n_inliers)
         self.kf_records.append((timestamp, k))
-        # pick up associations created by the KF (new depth points)
+        if self.use_mapping and self.triangulate_new_points:
+            # CreateNewMapPoints + SearchInNeighbors (reference mapping
+            # thread order, SURVEY.md §3.3)
+            self.map = self.create_points(self.map, k, self.kf_seq)
+            self.map = self.fuse_neighbors(self.map, k)
+        # pick up associations created by the KF (new points)
         self.track = self.track._replace(assoc=self.map.kf_point[k])
         if self.use_mapping:
             self.map = self.mapping_step(self.map, k, self.kf_seq)
+            self.map = self.kf_culling(self.map, k)
         if self.loop_closer is not None:
             self.map, closed = self.loop_closer.process_keyframe(
                 self.map, k, self.kf_seq)
@@ -210,6 +232,101 @@ class System:
                                  np_se3.se3_inverse(
                                      np.asarray(ref_pose, np.float64)))
         self.rel_records.append((timestamp, ref, tcr))
+
+    # -------------------------------------------------------------- stereo
+
+    def track_stereo(self, left, right, timestamp: float):
+        """Stereo tracking (``System::TrackStereo`` [U]); rectified
+        pair -> row-SAD depth -> identical back end to RGB-D."""
+        if not hasattr(self, "_make_stereo"):
+            from active_orb_slam2_tpu.models.frame import (
+                build_stereo_pipeline)
+            self._make_stereo = build_stereo_pipeline(self.cfg)
+        l = np.asarray(left)
+        r = np.asarray(right)
+        if l.dtype != np.uint8:
+            l = np.clip(l, 0, 255).astype(np.uint8)
+        if r.dtype != np.uint8:
+            r = np.clip(r, 0, 255).astype(np.uint8)
+        frame, n_depth = self._make_stereo(l, r)
+        if self.state == NOT_INITIALIZED:
+            pose = self._initialize(frame, int(n_depth), timestamp)
+        else:
+            pose = self._track_frame(frame, timestamp)
+        self.frame_id += 1
+        return np.asarray(se3_to_mat44(jnp.asarray(pose)))
+
+    # ------------------------------------------------------------ monocular
+
+    def track_mono(self, gray, timestamp: float):
+        """Monocular tracking (``System::TrackMonocular`` [U])."""
+        g = np.asarray(gray)
+        if g.dtype != np.uint8:
+            g = np.clip(g, 0, 255).astype(np.uint8)
+        frame, _ = self.make_mono(g)
+        if self.state == NOT_INITIALIZED:
+            pose = self._initialize_mono(frame, timestamp)
+        else:
+            pose = self._track_frame(frame, timestamp)
+        self.frame_id += 1
+        return np.asarray(se3_to_mat44(jnp.asarray(pose)))
+
+    def _initialize_mono(self, frame, timestamp):
+        """MonocularInitialization (~L570 [U]): H/F race vs a reference
+        frame, two-KF map, median-depth gauge."""
+        import jax
+        from active_orb_slam2_tpu.models.initializer import (
+            build_initializer)
+        from active_orb_slam2_tpu.models.mono_init import (
+            build_create_initial_map, build_mono_matcher)
+        if self._mono_matcher is None:
+            self._mono_matcher = build_mono_matcher(self.cfg)
+            self._mono_create = build_create_initial_map(self.cfg)
+            self._mono_initializer = build_initializer(self.cfg.camera)
+            self._init_key = jax.random.PRNGKey(3)
+
+        pose = jnp.asarray(self.track.pose)
+        n_valid = int(np.asarray(frame.valid.sum()))
+        if self._ref_frame is None or n_valid < 100:
+            if n_valid >= 100:
+                self._ref_frame = frame
+            self._record_frame(timestamp, np.asarray(pose))
+            return pose
+
+        match_idx, n_m = self._mono_matcher(self._ref_frame, frame)
+        if int(n_m) < 100:
+            self._ref_frame = frame if n_valid >= 100 else None
+            self._record_frame(timestamp, np.asarray(pose))
+            return pose
+
+        self._init_key, sub = jax.random.split(self._init_key)
+        ref = self._ref_frame
+        uv2 = frame.uv[jnp.clip(match_idx, 0)]
+        res = self._mono_initializer(
+            sub, ref.uv, uv2, match_idx >= 0)
+        if not bool(res.ok):
+            self._record_frame(timestamp, np.asarray(pose))
+            return pose
+
+        self.map, kp1, pose2, n_pts = self._mono_create(
+            self.map, ref, frame, res.pose2, res.points,
+            res.point_ok, match_idx)
+        if int(n_pts) < 80:
+            self._record_frame(timestamp, np.asarray(pose))
+            return pose
+        self.kf_seq = 2
+        self.last_kf_slot = 1
+        self.last_kf_frame = self.frame_id
+        self.last_kf_inliers = int(n_pts)
+        self.kf_records.append((timestamp - 1 / 30.0, 0))
+        self.kf_records.append((timestamp, 1))
+        self.track = self.track._replace(
+            pose=pose2, assoc=kp1, ok=jnp.array(True),
+            vel_ok=jnp.array(False))
+        self.state = OK
+        self._last_kf_pose_np = np.asarray(self.map.kf_pose[1])
+        self._record_frame(timestamp, np.asarray(pose2))
+        return pose2
 
     def _try_relocalize(self, frame) -> bool:
         """``Tracking::Relocalization`` [U]: BoW candidates -> batched

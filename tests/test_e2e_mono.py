@@ -1,0 +1,65 @@
+"""End-to-end monocular pipeline (BASELINE config #1 shape): initialize
+from the H/F race, track, triangulate new points, ATE under Sim3
+alignment (scale free)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from active_orb_slam2_tpu.config import (
+    MapConfig, OrbConfig, SlamConfig, TrackingConfig)
+from active_orb_slam2_tpu.geometry import CameraParams, umeyama_alignment
+from active_orb_slam2_tpu.io.synthetic import (
+    default_world, make_sequence, orbit_trajectory)
+from active_orb_slam2_tpu.io.trajectory import camera_centers
+from active_orb_slam2_tpu.models.system import OK, System
+
+CAM = CameraParams(fx=260.0, fy=260.0, cx=159.5, cy=119.5, bf=0.0,
+                   width=320, height=240)
+CFG = SlamConfig(
+    camera=CAM,
+    orb=OrbConfig(n_features=512, n_levels=4),
+    tracking=TrackingConfig(),
+    map=MapConfig(max_keyframes=32, max_points=8192,
+                  local_ba_keyframes=8, local_ba_points=2048),
+    sensor="mono")
+N_FRAMES = 40
+
+
+@pytest.fixture(scope="module")
+def mono_run():
+    slam = System(CFG)
+    gt = []
+    # sideways motion gives parallax for initialization
+    for i, (g, d, Twc) in enumerate(make_sequence(
+            N_FRAMES, CAM, world=default_world(),
+            trajectory=orbit_trajectory(N_FRAMES, radius=2.0,
+                                        step_deg=2.0))):
+        slam.track_mono(g, i / 30.0)
+        gt.append(Twc[:3, 3])
+    return slam, np.stack(gt)
+
+
+def test_mono_initializes(mono_run):
+    slam, _ = mono_run
+    assert slam.state == OK
+    assert slam.kf_seq >= 2
+    assert int(np.asarray(slam.map.pt_valid.sum())) > 100
+
+
+def test_mono_tracks_with_triangulated_points(mono_run):
+    slam, _ = mono_run
+    assert int(slam.track.n_inliers) > 40
+
+
+def test_mono_ate_sim3(mono_run):
+    slam, gt = mono_run
+    ts, poses = slam.frame_trajectory()
+    est = camera_centers(poses)
+    # only score frames after initialization (pre-init poses identity)
+    moved = np.linalg.norm(est, axis=1) > 1e-6
+    assert moved.sum() > 20
+    _, _, _, s, rmse = umeyama_alignment(
+        jnp.array(est[moved]), jnp.array(gt[moved]), fix_scale=False)
+    ate = float(rmse)
+    assert ate < 0.08, f"mono ATE {ate:.4f} m"
