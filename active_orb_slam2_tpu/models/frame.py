@@ -77,6 +77,17 @@ def build_frame_pipeline(cfg: SlamConfig):
         return frame, n_depth.astype(jnp.int32)
 
     @jax.jit
+    def make_rgbd_packed(packed):
+        """Single-transfer variant: [2, H, W] uint16, row 0 = gray
+        (0..255), row 1 = depth in millimetres."""
+        img = packed[0].astype(jnp.float32)
+        depth = packed[1].astype(jnp.float32) * jnp.float32(1e-3)
+        frame = frame_from_features(extract(img), cam, depth)
+        n_depth = (frame.valid & (frame.depth > 0.1)).sum()
+        return frame, n_depth.astype(jnp.int32)
+    make_rgbd.packed = make_rgbd_packed
+
+    @jax.jit
     def make_mono(image):
         img = image.astype(jnp.float32)
         frame = frame_from_features(extract(img), cam, None)

@@ -27,8 +27,7 @@ from active_orb_slam2_tpu.models.frame import build_frame_pipeline
 from active_orb_slam2_tpu.models.local_mapping import build_mapping_step
 from active_orb_slam2_tpu.models.map_state import empty_map
 from active_orb_slam2_tpu.models.tracking import (
-    apply_visibility_counters, build_create_keyframe, build_track_step,
-    init_track_state)
+    build_create_keyframe, build_track_step, init_track_state)
 
 NOT_INITIALIZED = 0
 OK = 1
@@ -98,7 +97,9 @@ class System:
         d = np.asarray(depth)
         if d.dtype != np.uint16:
             d = np.clip(d * 1e3, 0, 65535).astype(np.uint16)
-        frame, n_depth = self.make_rgbd(g, d)
+        # one host->device transfer for the whole frame
+        packed = np.stack([g.astype(np.uint16), d])
+        frame, n_depth = self.make_rgbd.packed(packed)
         if self.state == NOT_INITIALIZED:
             pose = self._initialize(frame, int(n_depth), timestamp)
         else:
@@ -142,14 +143,13 @@ class System:
                     "n_inliers": 0, "state": LOST})
                 self._record_frame(timestamp, np.asarray(self.track.pose))
                 return self.track.pose
-        self.track, stats_dev, vis_mask, found_mask = self.track_step(
+        self.track, stats_dev, self.map = self.track_step(
             self.map, frame, self.track)
-        self.map = apply_visibility_counters(self.map, vis_mask, found_mask)
-        # ONE packed device->host pull per frame
+        # ONE packed device->host pull per frame (stats + pose)
         stats = np.asarray(stats_dev)
         (n_mm, n_inliers, ok, close_tracked, close_unmatched,
-         n_assoc) = (int(v) for v in stats)
-        pose_np = np.asarray(self.track.pose)
+         n_assoc) = (int(v) for v in stats[:6])
+        pose_np = stats[6:13].astype(np.float32)
 
         self.metrics.append({
             "frame": self.frame_id, "n_motion_inliers": n_mm,

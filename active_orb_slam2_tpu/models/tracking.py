@@ -197,18 +197,26 @@ def build_track_step(cfg: SlamConfig, local_cand: int = 2048):
             n_inliers=res2.n_inliers,
             ok=ok,
         )
-        # packed per-frame scalars -> ONE device->host pull for all the
-        # host-side decisions (NeedNewKeyFrame etc.) instead of eager
-        # per-frame device ops
+        # visibility counters folded in (MapPoint::IncreaseVisible/Found)
+        # — only the two counter arrays change, other map fields alias
+        m_out = m._replace(
+            pt_visible=m.pt_visible + visible_mask.astype(jnp.int32),
+            pt_found=m.pt_found + found_mask.astype(jnp.int32))
+
+        # packed per-frame scalars + pose -> ONE device->host pull for
+        # everything the host needs (NeedNewKeyFrame inputs, state,
+        # trajectory record)
         close = frame.valid & (frame.depth > 0.1) \
             & (frame.depth < tcfg.th_depth)
-        stats = jnp.stack([
-            res1.n_inliers, res2.n_inliers, ok.astype(jnp.int32),
-            (close & (assoc >= 0)).sum().astype(jnp.int32),
-            (close & (assoc < 0)).sum().astype(jnp.int32),
-            (assoc >= 0).sum().astype(jnp.int32),
-        ])
-        return new_st, stats, visible_mask, found_mask
+        stats = jnp.concatenate([jnp.stack([
+            res1.n_inliers.astype(jnp.float32),
+            res2.n_inliers.astype(jnp.float32),
+            ok.astype(jnp.float32),
+            (close & (assoc >= 0)).sum().astype(jnp.float32),
+            (close & (assoc < 0)).sum().astype(jnp.float32),
+            (assoc >= 0).sum().astype(jnp.float32),
+        ]), pose])
+        return new_st, stats, m_out
 
     return track_step
 
