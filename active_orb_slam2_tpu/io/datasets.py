@@ -15,13 +15,16 @@ import numpy as np
 
 
 def _load_gray(path: str) -> np.ndarray:
-    from PIL import Image
-    return np.asarray(Image.open(path).convert("L"), dtype=np.uint8)
+    from active_orb_slam2_tpu.io.native import decode_gray
+    img = decode_gray(path)
+    if img.dtype == np.uint16:            # 16-bit source used as gray
+        return (img >> 8).astype(np.uint8)
+    return img
 
 
 def _load_depth_png(path: str) -> np.ndarray:
-    from PIL import Image
-    return np.asarray(Image.open(path), dtype=np.uint16)
+    from active_orb_slam2_tpu.io.native import decode_gray
+    return decode_gray(path).astype(np.uint16)
 
 
 def _read_stamped_list(path: str):

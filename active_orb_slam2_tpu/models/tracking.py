@@ -238,13 +238,15 @@ def build_create_keyframe(cfg: SlamConfig, max_new_points: int = 512):
         ok = kf_ok[0]
 
         # new map points from depth: unmatched valid features with
-        # usable depth (CreateNewKeyFrame's close-point synthesis [U])
-        new_src = (frame.valid & (assoc < 0) & (frame.depth > 0.1)
-                   & (frame.depth < close_depth))
-        # priority to closest points, like the reference's depth sort
+        # usable depth (CreateNewKeyFrame's close-point synthesis [U]).
+        # Reference rule: create all points closer than ThDepth, but if
+        # fewer than 100 are close, take the 100 closest regardless.
+        new_src = frame.valid & (assoc < 0) & (frame.depth > 0.1)
         order = jnp.argsort(jnp.where(new_src, frame.depth, jnp.inf),
                             stable=True)[:max_new_points]
-        src_ok = new_src[order]
+        rank = jnp.arange(max_new_points)
+        src_ok = new_src[order] & (
+            (frame.depth[order] < close_depth) | (rank < 100))
         pt_slots, pt_free = allocate_slots(m.pt_valid, max_new_points)
         create = src_ok & pt_free & ok
 
