@@ -23,11 +23,13 @@ import jax
 import jax.numpy as jnp
 
 from active_orb_slam2_tpu.config import SlamConfig
-from active_orb_slam2_tpu.geometry.projection import CameraParams
-from active_orb_slam2_tpu.geometry.se3 import mat_to_quat
+from active_orb_slam2_tpu.geometry.projection import (
+    CameraParams, predict_scale)
+from active_orb_slam2_tpu.geometry.se3 import mat_to_quat, se3_apply
 from active_orb_slam2_tpu.models.map_state import MapState
 from active_orb_slam2_tpu.models.optimizer import pose_optimization
-from active_orb_slam2_tpu.ops.matching import hamming_matrix, match_mutual
+from active_orb_slam2_tpu.ops.matching import (
+    hamming_matrix, match_mutual, search_by_projection)
 
 CHI2_2D = 5.991
 
@@ -138,7 +140,39 @@ def build_relocalizer(cfg: SlamConfig, n_candidates: int = 4):
                 cam, pose, pw, obs_uvr, frame.level,
                 frame.ur > 0, ok & inl)
             assoc = jnp.where(res.inliers & ok, pt, -1)
-            return res.pose, res.n_inliers, assoc
+
+            # second chance (``Tracking::Relocalization`` ~L1300 [U]):
+            # re-associate the candidate KF's points by PROJECTION at
+            # the refined pose and optimize again — recovers the many
+            # matches the BoW stage missed and de-flakes marginal
+            # RANSAC winners.
+            pts_idx = jnp.clip(m.kf_point[kfc], 0)
+            pts_ok = (m.kf_point[kfc] >= 0) & m.pt_valid[pts_idx] & kf_ok
+            xyz = m.pt_xyz[pts_idx]
+            pc = se3_apply(res.pose, xyz)
+            z = jnp.where(jnp.abs(pc[:, 2]) < 1e-9, 1e-9, pc[:, 2])
+            proj = jnp.stack([cam.fx * pc[:, 0] / z + cam.cx,
+                              cam.fy * pc[:, 1] / z + cam.cy], axis=-1)
+            dist = jnp.linalg.norm(pc, axis=-1)
+            pred_lv = predict_scale(dist, m.pt_max_dist[pts_idx], 1.2, 8)
+            radii = 10.0 * (1.2 ** pred_lv.astype(jnp.float32))
+            idx2, _ = search_by_projection(
+                proj, radii, pred_lv, m.pt_desc[pts_idx],
+                pts_ok & (pc[:, 2] > 0), frame.uv, frame.level,
+                frame.desc, frame.valid, max_dist=100.0, ratio=1.0,
+                level_window=2)
+            assoc2 = jnp.full((F,), -1, jnp.int32).at[
+                jnp.clip(idx2, 0)].max(
+                    jnp.where((idx2 >= 0) & pts_ok,
+                              pts_idx.astype(jnp.int32), -1))
+            assoc_u = jnp.where(assoc >= 0, assoc, assoc2)
+            matched = assoc_u >= 0
+            pt_u = jnp.clip(assoc_u, 0)
+            res2 = pose_optimization(
+                cam, res.pose, m.pt_xyz[pt_u], obs_uvr, frame.level,
+                frame.ur > 0, matched & m.pt_valid[pt_u])
+            assoc_f = jnp.where(res2.inliers & matched, assoc_u, -1)
+            return res2.pose, res2.n_inliers, assoc_f
 
         keys = jax.random.split(key, n_candidates)
         poses, ns, assocs = jax.vmap(per_candidate)(cand_kfs, keys)

@@ -2,11 +2,24 @@
 
 Replaces the reference's ``System`` class (``src/System.cc`` [U]) and
 its thread fabric: instead of four OS threads sharing a mutexed map
-(SURVEY.md §5.2), one single-threaded orchestrator interleaves jitted
-device steps — track_step per frame, create_keyframe + mapping_step per
-keyframe — over an immutable map pytree.  The reference's "background
-local BA interruptible by new keyframes" becomes deterministic bounded
-BA slices run synchronously at keyframe rate (SURVEY.md §5.3).
+(SURVEY.md §5.2), one single-threaded orchestrator drives jitted device
+steps — a fused frame-build + track step per frame, create_keyframe +
+mapping_step per keyframe — over an immutable map pytree.  The
+reference's "background local BA interruptible by new keyframes"
+becomes deterministic bounded BA slices at keyframe rate (SURVEY.md
+§5.3).
+
+Asynchrony model (the TPU-native analog of the reference's thread
+pipeline, SURVEY.md §2.5): the device link is treated as a deep queue.
+Each frame is ONE fused dispatch (ORB extraction + tracking) that never
+blocks the host; per-frame scalars (inlier counts, pose, keyframe-
+decision inputs) are retired in small batches with a single stacked
+device->host pull.  Host-side decisions (keyframe insertion, lost
+detection) therefore run a bounded number of frames behind the device —
+the same bounded staleness the reference's mapping/loop threads have
+behind its tracking thread.  ``flush()`` drains the queue; reading
+``System.state`` flushes implicitly so callers observe sequential
+semantics.
 
 API surface mirrors the reference: ``track_rgbd(im, depth, t) -> Tcw``,
 ``save_trajectory_tum``, ``save_keyframe_trajectory_tum``,
@@ -16,11 +29,11 @@ SURVEY.md §5.4).
 """
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from active_orb_slam2_tpu.config import SlamConfig
-from active_orb_slam2_tpu.geometry.se3 import (
-    se3_compose, se3_inverse, se3_to_mat44)
+from active_orb_slam2_tpu.geometry.se3 import se3_to_mat44
 from active_orb_slam2_tpu.io.trajectory import (
     resolve_frame_poses, save_tum, save_kitti)
 from active_orb_slam2_tpu.models.frame import build_frame_pipeline
@@ -35,11 +48,11 @@ LOST = 2
 
 
 class System:
-    """RGB-D / stereo-from-depth SLAM engine (monocular lands with the
-    initializer module)."""
+    """RGB-D / stereo / monocular SLAM engine."""
 
     def __init__(self, cfg: SlamConfig, use_mapping: bool = True,
-                 use_loop_closing: bool = False):
+                 use_loop_closing: bool = False,
+                 pipeline_depth=None, retire_batch=None):
         self.cfg = cfg
         self.make_rgbd, self.make_mono = build_frame_pipeline(cfg)
         self.track_step = build_track_step(cfg)
@@ -69,9 +82,24 @@ class System:
         self._init_key = None
         self.map = empty_map(cfg.map, cfg.orb)
         self.track = init_track_state(cfg.orb.n_features)
-        self.state = NOT_INITIALIZED
+        self._state = NOT_INITIALIZED
         self.use_mapping = use_mapping
         self.localization_only = False
+
+        # async pipeline over the device queue.  Monocular tracking
+        # depends on prompt keyframe triangulation (new points only
+        # exist after a KF lands), so it retires synchronously; RGB-D /
+        # stereo synthesize depth points per-KF and tolerate the
+        # mapping-thread-style staleness, so they run deep.
+        if pipeline_depth is None:
+            pipeline_depth = 0 if cfg.sensor == "mono" else 2
+        if retire_batch is None:
+            retire_batch = 1 if cfg.sensor == "mono" else 4
+        self.pipeline_depth = max(int(pipeline_depth), 0)
+        self.retire_batch = max(int(retire_batch), 1)
+        self._pending = []               # in-flight frame records
+        self._fused = {}                 # per-sensor fused jit steps
+        self._stack_fns = {}
 
         self.frame_id = 0
         self.kf_seq = 0                  # monotone keyframe counter
@@ -82,10 +110,132 @@ class System:
         self.kf_records = []             # (t, kf_slot) per keyframe
         self.metrics = []                # per-frame dict
 
+    # ----------------------------------------------------- state / pipeline
+
+    @property
+    def state(self):
+        """Tracking state; reading it drains the async pipeline so the
+        caller observes sequential semantics."""
+        self.flush()
+        return self._state
+
+    @state.setter
+    def state(self, v):
+        self._state = v
+
+    def flush(self):
+        """Retire every in-flight frame (drains the device queue)."""
+        while self._pending:
+            self._retire(len(self._pending))
+
+    def _fused_step(self, kind):
+        """(host inputs..., map, track) -> (frame, track', stats, map')
+        as ONE jitted dispatch: ORB extraction fused with the tracking
+        step so the steady-state loop costs a single enqueue."""
+        if kind in self._fused:
+            return self._fused[kind]
+        track_step = self.track_step
+        if kind == "rgbd":
+            make = self.make_rgbd.packed
+
+            def fused(packed, m, st):
+                frame, _ = make(packed)
+                st2, stats, m2 = track_step(m, frame, st)
+                return frame, st2, stats, m2
+        elif kind == "mono":
+            make_mono = self.make_mono
+
+            def fused(image, m, st):
+                frame, _ = make_mono(image)
+                st2, stats, m2 = track_step(m, frame, st)
+                return frame, st2, stats, m2
+        else:                            # stereo
+            make_stereo = self._get_make_stereo()
+
+            def fused(left, right, m, st):
+                frame, _ = make_stereo(left, right)
+                st2, stats, m2 = track_step(m, frame, st)
+                return frame, st2, stats, m2
+        self._fused[kind] = jax.jit(fused)
+        return self._fused[kind]
+
+    def _stack_stats(self, stats_list):
+        """One device->host pull for a whole retirement batch."""
+        k = len(stats_list)
+        if k == 1:
+            return np.asarray(stats_list[0])[None]
+        if k not in self._stack_fns:
+            self._stack_fns[k] = jax.jit(
+                lambda *s: jnp.stack(s))
+        return np.asarray(self._stack_fns[k](*stats_list))
+
+    def _retire(self, n):
+        """Pop the n oldest in-flight frames and run the host-side state
+        machine on their (batched) stats: metrics, LOST detection,
+        NeedNewKeyFrame + insertion, trajectory records."""
+        batch = self._pending[:n]
+        del self._pending[:n]
+        stats = self._stack_stats([e["stats"] for e in batch])
+        for e, s in zip(batch, stats):
+            (n_mm, n_inliers, ok, close_tracked, close_unmatched,
+             _n_assoc) = (int(v) for v in s[:6])
+            pose_np = s[6:13].astype(np.float32)
+            self.metrics.append({
+                "frame": e["frame_id"], "n_motion_inliers": n_mm,
+                "n_inliers": n_inliers, "state": int(self._state)})
+            if not ok:
+                self._state = LOST
+            else:
+                self._state = OK
+                if (not self.localization_only and self.use_mapping
+                        and self._need_new_keyframe(
+                            e["frame_id"], n_inliers, close_tracked,
+                            close_unmatched)):
+                    self._insert_keyframe(
+                        e["frame"], e["st"], e["ts"],
+                        e["frame_id"], n_inliers)
+            self._record_frame(e["ts"], pose_np)
+
+    def _dispatch_track(self, kind, host_inputs, timestamp):
+        """Enqueue one fused frame step; retire a batch if the pipeline
+        is deep enough.  Never blocks on the current frame."""
+        if self._state == LOST:
+            self.flush()
+            if self._state == LOST and not self._reloc_from_inputs(
+                    kind, host_inputs):
+                self.metrics.append({
+                    "frame": self.frame_id, "n_motion_inliers": 0,
+                    "n_inliers": 0, "state": LOST})
+                self._record_frame(
+                    timestamp, np.asarray(self.track.pose))
+                self.frame_id += 1
+                return self.track.pose
+        frame, st, stats, m = self._fused_step(kind)(
+            *host_inputs, self.map, self.track)
+        self.map, self.track = m, st
+        self._pending.append({
+            "frame_id": self.frame_id, "ts": timestamp,
+            "frame": frame, "st": st, "stats": stats})
+        if len(self._pending) >= self.pipeline_depth + self.retire_batch:
+            self._retire(self.retire_batch)
+        self.frame_id += 1
+        return st.pose
+
+    def _reloc_from_inputs(self, kind, host_inputs) -> bool:
+        """Synchronous relocalization attempt (rare path)."""
+        if kind == "rgbd":
+            frame, _ = self.make_rgbd.packed(*host_inputs)
+        elif kind == "mono":
+            frame, _ = self.make_mono(*host_inputs)
+        else:
+            frame, _ = self._get_make_stereo()(*host_inputs)
+        return self._try_relocalize(frame)
+
     # ------------------------------------------------------------- tracking
 
     def track_rgbd(self, gray, depth, timestamp: float):
-        """Process one RGB-D frame; returns Tcw as a 4x4 numpy array.
+        """Process one RGB-D frame; returns Tcw as a (lazy, device-side)
+        4x4 array — ``np.asarray`` it to synchronize.
 
         ``gray`` [H, W] uint8 or float 0..255; ``depth`` metric float
         metres (0 = missing) or uint16 millimetres.  Transfers are
@@ -99,13 +249,13 @@ class System:
             d = np.clip(d * 1e3, 0, 65535).astype(np.uint16)
         # one host->device transfer for the whole frame
         packed = np.stack([g.astype(np.uint16), d])
-        frame, n_depth = self.make_rgbd.packed(packed)
-        if self.state == NOT_INITIALIZED:
+        if self._state == NOT_INITIALIZED:
+            frame, n_depth = self.make_rgbd.packed(packed)
             pose = self._initialize(frame, int(n_depth), timestamp)
+            self.frame_id += 1
         else:
-            pose = self._track_frame(frame, timestamp)
-        self.frame_id += 1
-        return np.asarray(se3_to_mat44(jnp.asarray(pose)))
+            pose = self._dispatch_track("rgbd", (packed,), timestamp)
+        return se3_to_mat44(jnp.asarray(pose))
 
     def _initialize(self, frame, n_depth, timestamp):
         """StereoInitialization (``src/Tracking.cc`` ~L510 [U]): first
@@ -130,43 +280,12 @@ class System:
         self.track = self.track._replace(
             assoc=self.map.kf_point[int(k)],
             ok=jnp.array(True))
-        self.state = OK
+        self._state = OK
         self._last_kf_pose_np = np.asarray(self.map.kf_pose[int(k)])
         self._record_frame(timestamp, np.asarray(pose))
         return pose
 
-    def _track_frame(self, frame, timestamp):
-        if self.state == LOST:
-            if not self._try_relocalize(frame):
-                self.metrics.append({
-                    "frame": self.frame_id, "n_motion_inliers": 0,
-                    "n_inliers": 0, "state": LOST})
-                self._record_frame(timestamp, np.asarray(self.track.pose))
-                return self.track.pose
-        self.track, stats_dev, self.map = self.track_step(
-            self.map, frame, self.track)
-        # ONE packed device->host pull per frame (stats + pose)
-        stats = np.asarray(stats_dev)
-        (n_mm, n_inliers, ok, close_tracked, close_unmatched,
-         n_assoc) = (int(v) for v in stats[:6])
-        pose_np = stats[6:13].astype(np.float32)
-
-        self.metrics.append({
-            "frame": self.frame_id, "n_motion_inliers": n_mm,
-            "n_inliers": n_inliers, "state": int(self.state)})
-
-        if not ok:
-            self.state = LOST          # relocalization lands in phase 6
-        else:
-            self.state = OK
-            if (not self.localization_only and self.use_mapping
-                    and self._need_new_keyframe(n_inliers, close_tracked,
-                                                close_unmatched)):
-                self._insert_keyframe(frame, timestamp)
-        self._record_frame(timestamp, pose_np)
-        return self.track.pose
-
-    def _need_new_keyframe(self, n_inliers, close_tracked,
+    def _need_new_keyframe(self, frame_id, n_inliers, close_tracked,
                            close_unmatched) -> bool:
         """``Tracking::NeedNewKeyFrame`` (~L1010 [U]), host-side scalars.
 
@@ -174,7 +293,7 @@ class System:
         the RGB-D 'need close points' rule (tracked-close < 100 while
         ≥ 70 close candidates are unmatched)."""
         t = self.cfg.tracking
-        since = self.frame_id - self.last_kf_frame
+        since = frame_id - self.last_kf_frame
         if since < max(t.kf_min_interval, 1):
             return False
         if self.kf_seq >= self.cfg.map.max_keyframes:
@@ -185,25 +304,26 @@ class System:
         need_close = close_tracked < 100 and close_unmatched > 70
         return (weak or need_close) and n_inliers > 15
 
-    def _insert_keyframe(self, frame, timestamp):
+    def _insert_keyframe(self, frame, st, timestamp, frame_id, n_inliers):
+        """Insert the retired frame as a keyframe and run the mapping
+        stages.  All dispatches are async — the device queue absorbs
+        them exactly like the reference's background mapping thread."""
         self.map, k, ok = self.create_kf(
-            self.map, frame, self.track.pose, self.track.assoc,
-            self.frame_id, self.kf_seq, self.last_kf_slot)
+            self.map, frame, st.pose, st.assoc,
+            frame_id, self.kf_seq, self.last_kf_slot)
         if not bool(ok):
             return
         k = int(k)
         self.kf_seq += 1
         self.last_kf_slot = k
-        self.last_kf_frame = self.frame_id
-        self.last_kf_inliers = int(self.track.n_inliers)
+        self.last_kf_frame = frame_id
+        self.last_kf_inliers = n_inliers
         self.kf_records.append((timestamp, k))
         if self.use_mapping and self.triangulate_new_points:
             # CreateNewMapPoints + SearchInNeighbors (reference mapping
             # thread order, SURVEY.md §3.3)
             self.map = self.create_points(self.map, k, self.kf_seq)
             self.map = self.fuse_neighbors(self.map, k)
-        # pick up associations created by the KF (new points)
-        self.track = self.track._replace(assoc=self.map.kf_point[k])
         if self.use_mapping:
             self.map = self.mapping_step(self.map, k, self.kf_seq)
             self.map = self.kf_culling(self.map, k)
@@ -212,7 +332,10 @@ class System:
                 self.map, k, self.kf_seq)
             if closed:
                 self.n_loops_closed += 1
-                # the KF pose may have jumped: restart the motion model
+                # KF poses may have jumped: restart the motion model
+                # from the corrected reference KF (in-flight frames are
+                # pre-correction — same transient the reference has
+                # while CorrectLoop runs behind its tracking thread)
                 self.track = self.track._replace(
                     pose=self.map.kf_pose[k],
                     vel_ok=jnp.array(False))
@@ -235,26 +358,29 @@ class System:
 
     # -------------------------------------------------------------- stereo
 
-    def track_stereo(self, left, right, timestamp: float):
-        """Stereo tracking (``System::TrackStereo`` [U]); rectified
-        pair -> row-SAD depth -> identical back end to RGB-D."""
+    def _get_make_stereo(self):
         if not hasattr(self, "_make_stereo"):
             from active_orb_slam2_tpu.models.frame import (
                 build_stereo_pipeline)
             self._make_stereo = build_stereo_pipeline(self.cfg)
+        return self._make_stereo
+
+    def track_stereo(self, left, right, timestamp: float):
+        """Stereo tracking (``System::TrackStereo`` [U]); rectified
+        pair -> row-SAD depth -> identical back end to RGB-D."""
         l = np.asarray(left)
         r = np.asarray(right)
         if l.dtype != np.uint8:
             l = np.clip(l, 0, 255).astype(np.uint8)
         if r.dtype != np.uint8:
             r = np.clip(r, 0, 255).astype(np.uint8)
-        frame, n_depth = self._make_stereo(l, r)
-        if self.state == NOT_INITIALIZED:
+        if self._state == NOT_INITIALIZED:
+            frame, n_depth = self._get_make_stereo()(l, r)
             pose = self._initialize(frame, int(n_depth), timestamp)
+            self.frame_id += 1
         else:
-            pose = self._track_frame(frame, timestamp)
-        self.frame_id += 1
-        return np.asarray(se3_to_mat44(jnp.asarray(pose)))
+            pose = self._dispatch_track("stereo", (l, r), timestamp)
+        return se3_to_mat44(jnp.asarray(pose))
 
     # ------------------------------------------------------------ monocular
 
@@ -263,18 +389,17 @@ class System:
         g = np.asarray(gray)
         if g.dtype != np.uint8:
             g = np.clip(g, 0, 255).astype(np.uint8)
-        frame, _ = self.make_mono(g)
-        if self.state == NOT_INITIALIZED:
+        if self._state == NOT_INITIALIZED:
+            frame, _ = self.make_mono(g)
             pose = self._initialize_mono(frame, timestamp)
+            self.frame_id += 1
         else:
-            pose = self._track_frame(frame, timestamp)
-        self.frame_id += 1
-        return np.asarray(se3_to_mat44(jnp.asarray(pose)))
+            pose = self._dispatch_track("mono", (g,), timestamp)
+        return se3_to_mat44(jnp.asarray(pose))
 
     def _initialize_mono(self, frame, timestamp):
         """MonocularInitialization (~L570 [U]): H/F race vs a reference
         frame, two-KF map, median-depth gauge."""
-        import jax
         from active_orb_slam2_tpu.models.initializer import (
             build_initializer)
         from active_orb_slam2_tpu.models.mono_init import (
@@ -323,7 +448,7 @@ class System:
         self.track = self.track._replace(
             pose=pose2, assoc=kp1, ok=jnp.array(True),
             vel_ok=jnp.array(False))
-        self.state = OK
+        self._state = OK
         self._last_kf_pose_np = np.asarray(self.map.kf_pose[1])
         self._record_frame(timestamp, np.asarray(pose2))
         return pose2
@@ -331,7 +456,6 @@ class System:
     def _try_relocalize(self, frame) -> bool:
         """``Tracking::Relocalization`` [U]: BoW candidates -> batched
         PnP RANSAC -> pose refinement; >= 50 inliers to accept."""
-        import jax
         if self.relocalizer is None:
             from active_orb_slam2_tpu.models.relocalization import (
                 build_relocalizer)
@@ -361,15 +485,17 @@ class System:
         self.track = self.track._replace(
             pose=res.pose, assoc=res.assoc,
             vel_ok=jnp.array(False), ok=jnp.array(True))
-        self.state = OK
+        self._state = OK
         return True
 
     # ------------------------------------------------------------ mode API
 
     def activate_localization_mode(self):
+        self.flush()
         self.localization_only = True
 
     def deactivate_localization_mode(self):
+        self.flush()
         self.localization_only = False
 
     # ------------------------------------------------------------- outputs
@@ -377,10 +503,12 @@ class System:
     def frame_trajectory(self):
         """(timestamps, Tcw [N, 7]) with relative poses replayed against
         the final keyframe poses, like SaveTrajectoryTUM."""
+        self.flush()
         return resolve_frame_poses(self.rel_records,
                                    np.asarray(self.map.kf_pose))
 
     def keyframe_trajectory(self):
+        self.flush()
         ts = np.array([t for t, _ in self.kf_records])
         poses = np.stack([np.asarray(self.map.kf_pose[k])
                           for _, k in self.kf_records]) \
@@ -402,9 +530,11 @@ class System:
     def checkpoint(self):
         """The whole map as a dict of numpy arrays (save/load/resume —
         absent in stock ORB-SLAM2, SURVEY.md §5.4)."""
+        self.flush()
         return {f: np.asarray(getattr(self.map, f))
                 for f in self.map._fields}
 
     def restore(self, ckpt: dict):
+        self.flush()
         self.map = self.map._replace(
             **{f: jnp.asarray(v) for f, v in ckpt.items()})

@@ -59,7 +59,7 @@ def main():
         map=MapConfig(max_keyframes=64, max_points=16384,
                       local_ba_keyframes=8, local_ba_points=2048))
 
-    n_frames = 22
+    n_frames = 38
     _lap("rendering frames")
     frames = [(np.clip(g, 0, 255).astype(np.uint8),
                np.clip(d * 1e3, 0, 65535).astype(np.uint16))
@@ -75,6 +75,7 @@ def main():
         g, d = frames[i]
         slam.track_rgbd(g, d, i / 30.0)
         _lap(f"warmup frame {i}")
+    slam.flush()
 
     _lap("measuring")
     t0 = time.perf_counter()
@@ -83,6 +84,7 @@ def main():
         g, d = frames[i]
         slam.track_rgbd(g, d, i / 30.0)
         n_meas += 1
+    slam.flush()                             # drain the device queue
     dt = time.perf_counter() - t0
     ms_per_frame = dt / n_meas * 1e3
     fps = 1e3 / ms_per_frame
