@@ -92,14 +92,13 @@ class System:
         # stereo synthesize depth points per-KF and tolerate the
         # mapping-thread-style staleness, so they run deep.
         if pipeline_depth is None:
-            pipeline_depth = 0 if cfg.sensor == "mono" else 2
+            pipeline_depth = 0 if cfg.sensor == "mono" else 6
         if retire_batch is None:
             retire_batch = 1 if cfg.sensor == "mono" else 4
         self.pipeline_depth = max(int(pipeline_depth), 0)
         self.retire_batch = max(int(retire_batch), 1)
         self._pending = []               # in-flight frame records
         self._fused = {}                 # per-sensor fused jit steps
-        self._stack_fns = {}
 
         self.frame_id = 0
         self.kf_seq = 0                  # monotone keyframe counter
@@ -160,29 +159,34 @@ class System:
         return self._fused[kind]
 
     def _stack_stats(self, stats_list):
-        """One device->host pull for a whole retirement batch."""
-        k = len(stats_list)
-        if k == 1:
-            return np.asarray(stats_list[0])[None]
-        if k not in self._stack_fns:
-            self._stack_fns[k] = jax.jit(
-                lambda *s: jnp.stack(s))
-        return np.asarray(self._stack_fns[k](*stats_list))
+        """Pull a retirement batch to host.  Each entry's D2H copy was
+        started asynchronously at dispatch time (``copy_to_host_async``),
+        so with a deep enough pipeline these np.asarray calls read
+        host-cached data instead of paying a device round trip."""
+        return np.stack([np.asarray(s) for s in stats_list])
 
     def _retire(self, n):
         """Pop the n oldest in-flight frames and run the host-side state
         machine on their (batched) stats: metrics, LOST detection,
         NeedNewKeyFrame + insertion, trajectory records."""
+        import time
         batch = self._pending[:n]
         del self._pending[:n]
         stats = self._stack_stats([e["stats"] for e in batch])
+        t_ret = time.perf_counter()
+        for e in batch:
+            e["t_retired"] = t_ret
         for e, s in zip(batch, stats):
             (n_mm, n_inliers, ok, close_tracked, close_unmatched,
              _n_assoc) = (int(v) for v in s[:6])
             pose_np = s[6:13].astype(np.float32)
             self.metrics.append({
-                "frame": e["frame_id"], "n_motion_inliers": n_mm,
-                "n_inliers": n_inliers, "state": int(self._state)})
+                "frame": e["frame_id"], "ts": float(e["ts"]),
+                "n_motion_inliers": n_mm,
+                "n_inliers": n_inliers, "state": int(self._state),
+                "n_keyframes": self.kf_seq,
+                "wall_ms": round((e["t_retired"] - e["t_enq"]) * 1e3, 3)
+                if "t_enq" in e else None})
             if not ok:
                 self._state = LOST
             else:
@@ -204,18 +208,26 @@ class System:
             if self._state == LOST and not self._reloc_from_inputs(
                     kind, host_inputs):
                 self.metrics.append({
-                    "frame": self.frame_id, "n_motion_inliers": 0,
-                    "n_inliers": 0, "state": LOST})
+                    "frame": self.frame_id, "ts": float(timestamp),
+                    "n_motion_inliers": 0, "n_inliers": 0,
+                    "state": LOST, "n_keyframes": self.kf_seq,
+                    "wall_ms": None})
                 self._record_frame(
                     timestamp, np.asarray(self.track.pose))
                 self.frame_id += 1
                 return self.track.pose
+        import time
         frame, st, stats, m = self._fused_step(kind)(
             *host_inputs, self.map, self.track)
         self.map, self.track = m, st
+        try:
+            stats.copy_to_host_async()   # overlap D2H with the queue
+        except (AttributeError, NotImplementedError):
+            pass
         self._pending.append({
             "frame_id": self.frame_id, "ts": timestamp,
-            "frame": frame, "st": st, "stats": stats})
+            "frame": frame, "st": st, "stats": stats,
+            "t_enq": time.perf_counter()})
         if len(self._pending) >= self.pipeline_depth + self.retire_batch:
             self._retire(self.retire_batch)
         self.frame_id += 1
@@ -526,6 +538,17 @@ class System:
     def save_trajectory_kitti(self, path):
         _, poses = self.frame_trajectory()
         save_kitti(path, poses)
+
+    def save_metrics(self, path):
+        """Per-frame structured metrics as JSONL (SURVEY.md §5.5 — the
+        reference only has stdout banners + viewer counts; we log frame
+        state, match/inlier counts, keyframe count, and pipeline wall
+        time per frame)."""
+        import json
+        self.flush()
+        with open(path, "w") as f:
+            for m in self.metrics:
+                f.write(json.dumps(m) + "\n")
 
     def checkpoint(self):
         """The whole map as a dict of numpy arrays (save/load/resume —
