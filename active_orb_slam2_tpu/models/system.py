@@ -47,6 +47,14 @@ OK = 1
 LOST = 2
 
 
+def _stats_ready(stats) -> bool:
+    """Non-blocking: has this frame's stats array landed on the host?"""
+    try:
+        return stats.is_ready()
+    except AttributeError:
+        return True
+
+
 class System:
     """RGB-D / stereo / monocular SLAM engine."""
 
@@ -228,6 +236,19 @@ class System:
             "frame_id": self.frame_id, "ts": timestamp,
             "frame": frame, "st": st, "stats": stats,
             "t_enq": time.perf_counter()})
+        # Retire EAGERLY: pop every frame whose stats already landed on
+        # the host (non-blocking poll).  Staleness of the host state
+        # machine (keyframe insertion!) then tracks the true device
+        # latency — usually 1-2 frames — instead of a fixed deep-queue
+        # bound; the queue depth below only caps memory when the device
+        # falls far behind.
+        n_ready = 0
+        for e in self._pending[:-1]:
+            if not _stats_ready(e["stats"]):
+                break
+            n_ready += 1
+        if n_ready:
+            self._retire(n_ready)
         if len(self._pending) >= self.pipeline_depth + self.retire_batch:
             self._retire(self.retire_batch)
         self.frame_id += 1

@@ -108,9 +108,13 @@ def loop_setup():
     world = default_world(n_boxes=0)
     traj = loop_trajectory(N, radius=2.5)
     frames = list(make_sequence(N, CAM, world=world, trajectory=traj))
-    # arc A: first 55 frames; arc B: last 55 (revisits the start)
+    # arc A: first 55 frames; arc B: the last 55 plus a wrap past the
+    # loop point (the circle closes at frame N, so frames 0..19 replay
+    # the start) — several consecutive arc-B keyframes genuinely
+    # revisit arc A, which is what the reference's 3-consecutive
+    # consistency check requires before accepting a loop.
     slam_a = _track_arc(frames[:55], 0.0)
-    slam_b = _track_arc(frames[95:], 95 / 30.0)
+    slam_b = _track_arc(frames[95:] + frames[:20], 95 / 30.0)
     m, Ka, Kb = _merge_with_drift(slam_a, slam_b, DRIFT)
     # each System's world frame is its first camera; x_A = A x_B with
     # A = Twc(0)^-1 Twc(95) from ground truth
@@ -125,7 +129,7 @@ def test_loop_detect_and_correct(loop_setup):
     closed = False
     cur = Ka + Kb - 1
     # feed the last few arc-B keyframes to satisfy the consistency check
-    for n, k in enumerate(range(Ka + Kb - 4, Ka + Kb)):
+    for n, k in enumerate(range(Ka + Kb - 8, Ka + Kb)):
         m2, closed = lc.process_keyframe(m, k, kf_seq=20 + n)
         if closed:
             cur = k
