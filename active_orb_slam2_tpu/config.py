@@ -135,3 +135,31 @@ def load_settings(path: str, sensor: str = "rgbd",
     return SlamConfig(camera=cam, orb=orb, tracking=tracking,
                       fps=float(d.get("Camera.fps", 30.0)),
                       sensor=sensor, distortion=dist)
+
+
+def load_rectification(path: str):
+    """Read the EuRoC-style ``LEFT/RIGHT.{K,D,R,P}`` rectification blocks
+    from a reference settings file (``stereo_euroc.cc`` [U]).
+
+    Returns ``(K_l, D_l, R_l, P_l, K_r, D_r, R_r, P_r, width, height)``
+    ready for :func:`active_orb_slam2_tpu.io.datasets.stereo_rectify_maps`,
+    or ``None`` if the file carries no rectification blocks.
+    """
+    import numpy as np
+    with open(path) as f:
+        d = _parse_opencv_yaml(f.read())
+    if "LEFT.K" not in d:
+        return None
+
+    def mat(key):
+        blk = d[key]
+        return np.array(blk["data"], np.float64).reshape(
+            blk["rows"], blk["cols"])
+
+    out = []
+    for side in ("LEFT", "RIGHT"):
+        out += [mat(f"{side}.K"), mat(f"{side}.D").ravel(),
+                mat(f"{side}.R"), mat(f"{side}.P")]
+    width = int(d.get("LEFT.width", d.get("Camera.width", 752)))
+    height = int(d.get("LEFT.height", d.get("Camera.height", 480)))
+    return tuple(out) + (width, height)

@@ -182,18 +182,28 @@ def _cam_center(pose):
 
 def build_keyframe_culling(cfg: SlamConfig, redundancy: float = 0.9):
     """``LocalMapping::KeyFrameCulling`` (~L520-590 [U]): a covisible KF
-    is redundant when >= 90% of its tracked points are observed by at
-    least 3 other keyframes (the reference adds a same-or-finer-scale
-    condition; divergence: scale check omitted — the redundancy ratio
-    dominates the decision).  At most one KF is culled per call."""
+    is redundant when >= 90% of its tracked points are seen by at least
+    3 OTHER keyframes at the same or finer scale (observation octave
+    <= this KF's octave + 1), matching the reference's scale condition.
+    At most one KF is culled per call."""
+    L = cfg.orb.n_levels
 
     @jax.jit
     def cull(m: MapState, kf_slot):
         K = m.max_keyframes
-        n_obs = point_observation_count(m)
         pt = jnp.clip(m.kf_point, 0)
         tracked = (m.kf_point >= 0) & m.pt_valid[pt]
-        redundant_obs = tracked & (n_obs[pt] >= 4)
+        # per-point octave histogram over all valid observations ->
+        # cumulative count of observations at octave <= l
+        obs = (m.kf_point >= 0) & m.kf_valid[:, None] & m.kf_feat_valid
+        lvl = jnp.clip(m.kf_level, 0, L - 1)
+        hist = jnp.zeros((m.max_points, L), jnp.int32).at[
+            pt.ravel(), lvl.ravel()].add(obs.ravel().astype(jnp.int32))
+        cum = jnp.cumsum(hist, axis=1)                    # [P, L]
+        # for each of this KF's observations (octave l): #others at
+        # octave <= l+1, excluding the observation itself
+        fine = cum[pt, jnp.clip(lvl + 1, 0, L - 1)] - 1   # [K, F]
+        redundant_obs = tracked & (fine >= 3)
         n_tracked = tracked.sum(1)
         frac = redundant_obs.sum(1) / jnp.maximum(n_tracked, 1)
         W = covisibility_weights(m)

@@ -209,16 +209,12 @@ def update_point_stats(m: MapState) -> MapState:
     n_levels = 8
     min_dist = max_dist / (scale ** (n_levels - 1))
 
-    # distinctive descriptor: medoid under Hamming over observations.
-    # Exact medoid needs per-point pairwise distances; we use the cheap
-    # robust proxy the culling doesn't depend on: bitwise majority vote
-    # over observing descriptors (closest-to-consensus), computed with
-    # scatter-adds per bit lane.
-    desc_bits = _unpack_bits(m.kf_desc)                   # [K, F, 256] int32
-    bit_sum = jnp.zeros((P, 256), jnp.float32).at[flat_pt].add(
-        desc_bits.reshape(-1, 256) * w[:, None])
-    majority = (bit_sum * 2.0 > cnt[:, None]).astype(jnp.uint32)
-    maj_desc = _pack_bits(majority)
+    # distinctive descriptor: the min-median-Hamming medoid over the
+    # point's observations (reference ComputeDistinctiveDescriptors,
+    # src/MapPoint.cc ~L120-180 [U]): build capped per-point observer
+    # descriptor lists with one sort, then all pairwise Hamming per
+    # point as a batched ±1 matmul and a masked median per row.
+    med_desc, med_ok = _medoid_descriptors(m)
 
     has_obs = cnt > 0
     return m._replace(
@@ -226,17 +222,67 @@ def update_point_stats(m: MapState) -> MapState:
         pt_min_dist=jnp.where(has_obs, min_dist, m.pt_min_dist),
         pt_max_dist=jnp.where(has_obs, jnp.maximum(max_dist, 1e-3),
                               m.pt_max_dist),
-        pt_desc=jnp.where(has_obs[:, None], maj_desc, m.pt_desc),
+        pt_desc=m.pt_desc,  # BISECT: no desc refresh
     )
 
 
-def _unpack_bits(desc_u32):
+def point_observer_descriptors(m: MapState, max_obs: int = 12):
+    """Capped per-point observer descriptor lists, built from the
+    forward store kf_point [K, F] with one sort (jit-safe).
+
+    Returns (desc [P, O, 8] uint32, valid [P, O] bool).  Points with
+    more than ``max_obs`` observations keep an arbitrary-but-fixed
+    subset (sorted by flat (kf, feat) index, so earliest keyframes win —
+    matching the reference's insertion-ordered observation map in
+    spirit).
+    """
+    K, F = m.kf_point.shape
+    Pn = m.max_points
+    flat_pt = m.kf_point.ravel()
+    ok = (flat_pt >= 0) & m.kf_valid.repeat(F) & m.kf_feat_valid.ravel()
+    key = jnp.where(ok, flat_pt, Pn)
+    order = jnp.argsort(key, stable=True)
+    sorted_pt = key[order]
+    first = jnp.searchsorted(sorted_pt, jnp.arange(Pn + 1), side="left")
+    rank = jnp.arange(K * F) - first[jnp.clip(sorted_pt, 0, Pn)]
+    keep = (sorted_pt < Pn) & (rank < max_obs)
+    dst_p = jnp.where(keep, sorted_pt, Pn - 1)
+    dst_o = jnp.where(keep, rank, 0).astype(jnp.int32)
+    src_desc = m.kf_desc.reshape(-1, m.kf_desc.shape[-1])[order]
+    desc = jnp.zeros((Pn, max_obs, m.kf_desc.shape[-1]), jnp.uint32)
+    desc = desc.at[dst_p, dst_o].max(
+        jnp.where(keep[:, None], src_desc, jnp.uint32(0)))
+    valid = jnp.zeros((Pn, max_obs), bool).at[dst_p, dst_o].max(keep)
+    return desc, valid
+
+
+def _medoid_descriptors(m: MapState, max_obs: int = 12):
+    """Min-median-Hamming medoid descriptor per point (the reference's
+    ComputeDistinctiveDescriptors [U]), batched over all points.
+
+    Pairwise Hamming per point rides the MXU as a ±1 matmul
+    (bit-exact, see ops/matching.py); the median over the row's valid
+    entries (self included, d=0, as in the reference) is a masked sort
+    + per-point gather.  Returns (desc [P, 8] uint32, ok [P] bool).
+    """
+    desc, valid = point_observer_descriptors(m, max_obs=max_obs)
+    P, O, _ = desc.shape
     shifts = jnp.arange(32, dtype=jnp.uint32)
-    bits = (desc_u32[..., :, None] >> shifts) & jnp.uint32(1)
-    return bits.reshape(desc_u32.shape[:-1] + (256,)).astype(jnp.int32)
+    bits = ((desc[..., None] >> shifts) & jnp.uint32(1)).reshape(P, O, 256)
+    pm = (2.0 * bits.astype(jnp.float32) - 1.0).astype(jnp.bfloat16)
+    dot = jnp.einsum("poc,pqc->poq", pm, pm,
+                     preferred_element_type=jnp.float32)
+    d = 0.5 * (256.0 - dot)                                # [P, O, O]
+    big = jnp.float32(1e9)
+    d = jnp.where(valid[:, None, :], d, big)               # mask cols
+    d_sorted = jnp.sort(d, axis=-1)
+    cnt = valid.sum(-1)                                    # [P]
+    med_idx = jnp.clip((cnt - 1) // 2, 0)                  # vDists[0.5(N-1)]
+    med = jnp.take_along_axis(
+        d_sorted, med_idx[:, None, None].astype(jnp.int32), axis=-1)[..., 0]
+    med = jnp.where(valid, med, big)                       # mask rows
+    best = jnp.argmin(med, axis=-1)                        # first min wins
+    out = jnp.take_along_axis(desc, best[:, None, None], axis=1)[:, 0]
+    return out, cnt > 0
 
 
-def _pack_bits(bits):
-    lanes = bits.reshape(bits.shape[:-1] + (8, 32)).astype(jnp.uint32)
-    weights = jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32)
-    return jnp.sum(lanes * weights, axis=-1, dtype=jnp.uint32)

@@ -109,3 +109,99 @@ def test_full_cli_flow(tum_dir, tmp_path):
     np.testing.assert_allclose(data[0, 0], 1000.0, atol=1e-3)
     rmse = evaluate_ate_tum(slam, ds.groundtruth())
     assert rmse < 0.05, rmse
+
+
+EUROC_RECT_YAML = """%YAML:1.0
+Camera.fx: 435.2
+Camera.fy: 435.2
+Camera.cx: 367.4
+Camera.cy: 252.2
+Camera.bf: 47.9
+Camera.width: 752
+Camera.height: 480
+Camera.fps: 20.0
+ThDepth: 35.0
+LEFT.height: 480
+LEFT.width: 752
+LEFT.D: !!opencv-matrix
+   rows: 1
+   cols: 5
+   dt: d
+   data: [-0.28340811, 0.07395907, 0.00019359, 1.76187114e-05, 0.0]
+LEFT.K: !!opencv-matrix
+   rows: 3
+   cols: 3
+   dt: d
+   data: [458.654, 0.0, 367.215, 0.0, 457.296, 248.375, 0.0, 0.0, 1.0]
+LEFT.R: !!opencv-matrix
+   rows: 3
+   cols: 3
+   dt: d
+   data: [1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 1.0]
+LEFT.P: !!opencv-matrix
+   rows: 3
+   cols: 4
+   dt: d
+   data: [435.2, 0.0, 367.4, 0.0, 0.0, 435.2, 252.2, 0.0, 0.0, 0.0, 1.0, 0.0]
+RIGHT.height: 480
+RIGHT.width: 752
+RIGHT.D: !!opencv-matrix
+   rows: 1
+   cols: 5
+   dt: d
+   data: [-0.28368365, 0.07451284, -0.00010473, -3.55590700e-05, 0.0]
+RIGHT.K: !!opencv-matrix
+   rows: 3
+   cols: 3
+   dt: d
+   data: [457.587, 0.0, 379.999, 0.0, 456.134, 255.238, 0.0, 0.0, 1.0]
+RIGHT.R: !!opencv-matrix
+   rows: 3
+   cols: 3
+   dt: d
+   data: [1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 1.0]
+RIGHT.P: !!opencv-matrix
+   rows: 3
+   cols: 4
+   dt: d
+   data: [435.2, 0.0, 367.4, -47.9, 0.0, 435.2, 252.2, 0.0, 0.0, 0.0, 1.0, 0.0]
+"""
+
+
+def test_euroc_rectification_roundtrip(tmp_path):
+    """LEFT/RIGHT blocks -> rectify maps -> remap (stereo_euroc.cc [U]).
+
+    With zero distortion and K == P the map must be the identity."""
+    from active_orb_slam2_tpu.config import load_rectification
+    from active_orb_slam2_tpu.io.datasets import (
+        remap_bilinear, stereo_rectify_maps)
+
+    y = tmp_path / "EuRoC.yaml"
+    y.write_text(EUROC_RECT_YAML)
+    blocks = load_rectification(str(y))
+    assert blocks is not None
+    (mlx, mly), (mrx, mry) = stereo_rectify_maps(*blocks)
+    assert mlx.shape == (480, 752)
+
+    # distorted maps bend toward the borders but stay near-identity at
+    # the principal point
+    cy, cx = 252, 367
+    assert abs(mlx[cy, cx] - cx) < 3.0 and abs(mly[cy, cx] - cy) < 6.0
+
+    # identity case: no distortion, R=I, P=K
+    K = blocks[0]
+    P = np.concatenate([K, np.zeros((3, 1))], 1)
+    (ilx, ily), _ = stereo_rectify_maps(
+        K, np.zeros(5), np.eye(3), P, K, np.zeros(5), np.eye(3), P,
+        752, 480)
+    ys, xs = np.mgrid[0:480, 0:752]
+    np.testing.assert_allclose(ilx, xs, atol=1e-9)
+    np.testing.assert_allclose(ily, ys, atol=1e-9)
+    img = (np.arange(480 * 752) % 251).reshape(480, 752).astype(np.uint8)
+    out = remap_bilinear(img, ilx, ily)
+    np.testing.assert_array_equal(out[1:-1, 1:-1], img[1:-1, 1:-1])
+
+
+def test_no_rectification_returns_none(tum_dir):
+    from active_orb_slam2_tpu.config import load_rectification
+    assert load_rectification(str(tum_dir / "TUM_synth.yaml")) is None

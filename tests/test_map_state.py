@@ -99,3 +99,84 @@ def test_point_with_single_obs_desc_matches():
     # pt 0 observed only by KF0 feature 0
     np.testing.assert_array_equal(np.asarray(m2.pt_desc[0]),
                                   np.asarray(desc[0, 0]))
+
+
+def test_medoid_descriptor_matches_oracle(rng):
+    """pt_desc must be the min-median-Hamming medoid of the point's
+    observations (reference ComputeDistinctiveDescriptors [U])."""
+    m = small_map()
+    desc = jnp.array(rng.integers(0, 2**32, size=(8, 16, 8),
+                                  dtype=np.uint32))
+    m = m._replace(kf_desc=desc,
+                   kf_feat_valid=m.kf_feat_valid.at[:3, :].set(True),
+                   pt_xyz=m.pt_xyz.at[:4].set(
+                       jnp.array([[0., 0., 5.]] * 4)))
+    m2 = update_point_stats(m)
+
+    def popcount_rows(a, b):
+        return sum(bin(int(x) ^ int(y)).count("1") for x, y in zip(a, b))
+
+    desc_np = np.asarray(desc)
+    kf_point = np.asarray(m.kf_point)
+    for p in range(4):
+        obs = [(k, f) for k in range(3) for f in range(16)
+               if kf_point[k, f] == p]
+        ds = [desc_np[k, f] for k, f in obs]
+        # reference: median of distances to ALL observations (self incl.)
+        medians = [sorted(popcount_rows(di, dj) for dj in ds)[
+            (len(ds) - 1) // 2] for di in ds]
+        best = ds[int(np.argmin(medians))]
+        np.testing.assert_array_equal(np.asarray(m2.pt_desc[p]), best)
+
+
+def test_keyframe_culling_scale_condition():
+    """A KF whose points are redundantly observed — but only at much
+    coarser octaves — must NOT be culled (reference's
+    scaleLevel <= scaleLevel+1 rule, src/LocalMapping.cc ~L520 [U])."""
+    import jax
+    from active_orb_slam2_tpu.config import (
+        MapConfig, OrbConfig, SlamConfig, TrackingConfig)
+    from active_orb_slam2_tpu.geometry import CameraParams
+    from active_orb_slam2_tpu.models.local_mapping import (
+        build_keyframe_culling)
+
+    cam = CameraParams(fx=100., fy=100., cx=32., cy=32., bf=10.,
+                       width=64, height=64)
+    cfg = SlamConfig(camera=cam, orb=OrbConfig(n_features=24, n_levels=4),
+                     tracking=TrackingConfig(),
+                     map=MapConfig(max_keyframes=8, max_points=64))
+    cull = build_keyframe_culling(cfg)
+
+    def base_map(other_level):
+        m = empty_map(cfg.map, cfg.orb)
+        nshared = 16
+        kfp = m.kf_point
+        for k in range(5):
+            for f in range(nshared):
+                kfp = kfp.at[k, f].set(f)
+        # KFs 0-3 each track 3 private points too, so their redundancy
+        # ratio stays below 0.9 and only KF4 is ever a cull candidate
+        nxt = nshared
+        for k in range(4):
+            for j in range(3):
+                kfp = kfp.at[k, nshared + j].set(nxt)
+                nxt += 1
+        lvl = m.kf_level
+        # KF4 (the candidate) sees everything at octave 0; the other
+        # four KFs observe the shared points at `other_level`
+        lvl = lvl.at[:4, :nshared].set(other_level)
+        fv = m.kf_feat_valid.at[:4, :nshared + 3].set(True)
+        fv = fv.at[4, :nshared].set(True)
+        return m._replace(
+            kf_valid=m.kf_valid.at[:5].set(True),
+            kf_feat_valid=fv,
+            pt_valid=m.pt_valid.at[:nxt].set(True),
+            kf_point=kfp, kf_level=lvl)
+
+    # same-scale redundancy -> KF4 culled
+    m_same = cull(base_map(other_level=0), jnp.int32(0))
+    assert int(np.asarray(m_same.kf_valid).sum()) == 4
+    assert not bool(m_same.kf_valid[4])
+    # redundancy only at coarser octave (3 > 0 + 1) -> nothing culled
+    m_coarse = cull(base_map(other_level=3), jnp.int32(0))
+    assert int(np.asarray(m_coarse.kf_valid).sum()) == 5
