@@ -46,10 +46,14 @@ def triangulate_dlt(P1, P2, uv1, uv2):
     ]
     A = jnp.stack(rows, axis=-2)                      # [..., 4, 4]
     AtA = jnp.einsum('...ji,...jk->...ik', A, A)      # [..., 4, 4] sym PSD
-    _, vecs = jnp.linalg.eigh(AtA)
+    vals, vecs = jnp.linalg.eigh(AtA)
     x = vecs[..., :, 0]                                # smallest eigval
     w = x[..., 3]
-    ok = jnp.abs(w) > 1e-9
+    # rank check: a unique solution needs exactly ONE near-zero
+    # eigenvalue; a zero-baseline / coincident-ray system has a 2-D
+    # nullspace (vals[1] ~ 0 too) and any nullspace vector is garbage
+    well_posed = vals[..., 1] > 1e-7 * jnp.maximum(vals[..., 3], 1e-12)
+    ok = (jnp.abs(w) > 1e-9) & well_posed
     xw = x[..., :3] / jnp.where(ok, w, 1.0)[..., None]
     return xw, ok & jnp.all(jnp.isfinite(xw), axis=-1)
 

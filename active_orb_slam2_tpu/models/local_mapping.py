@@ -185,17 +185,25 @@ def build_keyframe_culling(cfg: SlamConfig, redundancy: float = 0.9):
     is redundant when >= 90% of its tracked points are seen by at least
     3 OTHER keyframes at the same or finer scale (observation octave
     <= this KF's octave + 1), matching the reference's scale condition.
-    At most one KF is culled per call."""
+    At most one KF is culled per call.
+
+    Returns (m', victim) where victim is the culled slot or -1 — the
+    host repoints per-frame relative-pose records onto the victim's
+    spanning-tree parent (the reference's SaveTrajectoryTUM walks
+    ``pKF->GetParent()`` while ``pKF->isBad()``), because culled slots
+    are recycled by later keyframes."""
     L = cfg.orb.n_levels
 
     @jax.jit
     def cull(m: MapState, kf_slot):
         K = m.max_keyframes
         pt = jnp.clip(m.kf_point, 0)
-        tracked = (m.kf_point >= 0) & m.pt_valid[pt]
         # per-point octave histogram over all valid observations ->
         # cumulative count of observations at octave <= l
         obs = (m.kf_point >= 0) & m.kf_valid[:, None] & m.kf_feat_valid
+        # same observation mask for "tracked" so each candidate's own
+        # observation is always counted in the histogram (the -1 below)
+        tracked = obs & m.pt_valid[pt]
         lvl = jnp.clip(m.kf_level, 0, L - 1)
         hist = jnp.zeros((m.max_points, L), jnp.int32).at[
             pt.ravel(), lvl.ravel()].add(obs.ravel().astype(jnp.int32))
@@ -225,7 +233,8 @@ def build_keyframe_culling(cfg: SlamConfig, redundancy: float = 0.9):
         new_parent = jnp.where(
             do & (m.kf_parent == victim), vparent, m.kf_parent)
         return m._replace(kf_valid=kf_valid, kf_point=kfp,
-                          kf_parent=new_parent)
+                          kf_parent=new_parent), \
+            jnp.where(do, victim, -1).astype(jnp.int32)
 
     return cull
 
@@ -333,7 +342,11 @@ def build_mapping_step(cfg: SlamConfig):
         row = row.at[kf_slot].set(0)
         w_loc, loc = jax.lax.top_k(row, L - 1)
         local_cams = jnp.concatenate([jnp.array([kf_slot]), loc])
-        local_ok = jnp.concatenate([jnp.array([True]), w_loc > 0])
+        # covisibility-graph edge threshold (reference UpdateConnections
+        # weight >= 15): weakly-connected KFs are NOT free local cams —
+        # they join the fixed ring below if they observe local points.
+        # Optimizing them freely lets a sparsely-observed KF fly off.
+        local_ok = jnp.concatenate([jnp.array([True]), w_loc >= 15])
         local_ok &= m.kf_valid[local_cams]
 
         # local point set: observed by local cams
@@ -389,6 +402,13 @@ def build_mapping_step(cfg: SlamConfig):
             level=m.kf_level[cams].ravel(),
             has_stereo=(m.kf_ur[cams] > 0).ravel(),
             valid=e_valid.ravel())
+
+        # under-constrained guard: a free cam needs enough surviving
+        # edges for its 6-DoF pose to be observable; otherwise pin it
+        # (the reference never optimizes a KF this sparse because its
+        # local set comes from the weight>=15 covisibility graph)
+        cam_edge_count = jnp.sum(e_valid, axis=1)            # [Lt]
+        fixed_flag = fixed_flag | (cam_edge_count < 12)
 
         res = bundle_adjustment(
             cam, m.kf_pose[cams], m.pt_xyz[pt_sel], edges,

@@ -222,7 +222,7 @@ def update_point_stats(m: MapState) -> MapState:
         pt_min_dist=jnp.where(has_obs, min_dist, m.pt_min_dist),
         pt_max_dist=jnp.where(has_obs, jnp.maximum(max_dist, 1e-3),
                               m.pt_max_dist),
-        pt_desc=m.pt_desc,  # BISECT: no desc refresh
+        pt_desc=jnp.where((has_obs & med_ok)[:, None], med_desc, m.pt_desc),
     )
 
 

@@ -359,7 +359,8 @@ class System:
             self.map = self.fuse_neighbors(self.map, k)
         if self.use_mapping:
             self.map = self.mapping_step(self.map, k, self.kf_seq)
-            self.map = self.kf_culling(self.map, k)
+            self.map, victim = self.kf_culling(self.map, k)
+            self._on_keyframe_culled(int(victim))
         if self.loop_closer is not None:
             self.map, closed = self.loop_closer.process_keyframe(
                 self.map, k, self.kf_seq)
@@ -374,6 +375,27 @@ class System:
                     vel_ok=jnp.array(False))
         # host cache of the reference-KF pose for per-frame Tcr records
         self._last_kf_pose_np = np.asarray(self.map.kf_pose[k])
+
+    def _on_keyframe_culled(self, victim: int):
+        """Culled slots are recycled by later keyframes, so repoint any
+        per-frame relative-pose records referencing the victim onto its
+        spanning-tree parent (the reference's SaveTrajectoryTUM walks
+        ``while (pKF->isBad()) { Trw = Trw*pKF->mTcp; pKF = parent; }``,
+        src/System.cc ~L320-480 [U]).  Tcr' = Tcr . Tv . Tp^-1 keeps the
+        replayed frame pose identical at cull time and lets it follow
+        the parent through later BA / loop corrections."""
+        if victim < 0:
+            return
+        from active_orb_slam2_tpu.utils import np_se3
+        parent = int(self.map.kf_parent[victim])
+        vpose = np.asarray(self.map.kf_pose[victim], np.float64)
+        ppose = np.asarray(self.map.kf_pose[parent], np.float64)
+        t_vp = np_se3.se3_compose(vpose, np_se3.se3_inverse(ppose))
+        self.rel_records = [
+            (t, parent, np_se3.se3_compose(tcr, t_vp)) if ref == victim
+            else (t, ref, tcr)
+            for (t, ref, tcr) in self.rel_records]
+        self.kf_records = [r for r in self.kf_records if r[1] != victim]
 
     def _record_frame(self, timestamp, pose_np):
         """Store Tcr relative to the reference KF (host-side numpy; the

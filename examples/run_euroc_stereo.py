@@ -44,8 +44,14 @@ def main():
     if args.settings:
         cfg = load_settings(args.settings, sensor="stereo")
         blocks = load_rectification(args.settings)
-        if blocks is not None:
-            rect = stereo_rectify_maps(*blocks)
+        if blocks is None:
+            # reference stereo_euroc.cc aborts when the LEFT/RIGHT
+            # rectification blocks are missing; tracking on raw EuRoC
+            # images would silently degrade ATE
+            sys.exit("ERROR: settings file has no LEFT/RIGHT "
+                     "rectification blocks; stereo EuRoC requires them "
+                     "(see reference Examples/Stereo/EuRoC.yaml)")
+        rect = stereo_rectify_maps(*blocks)
     else:
         cfg = SlamConfig(sensor="stereo")
     ds = EurocDataset(args.root, rectify_maps=rect)

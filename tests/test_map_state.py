@@ -174,9 +174,11 @@ def test_keyframe_culling_scale_condition():
             kf_point=kfp, kf_level=lvl)
 
     # same-scale redundancy -> KF4 culled
-    m_same = cull(base_map(other_level=0), jnp.int32(0))
+    m_same, victim = cull(base_map(other_level=0), jnp.int32(0))
     assert int(np.asarray(m_same.kf_valid).sum()) == 4
     assert not bool(m_same.kf_valid[4])
+    assert int(victim) == 4
     # redundancy only at coarser octave (3 > 0 + 1) -> nothing culled
-    m_coarse = cull(base_map(other_level=3), jnp.int32(0))
+    m_coarse, victim = cull(base_map(other_level=3), jnp.int32(0))
     assert int(np.asarray(m_coarse.kf_valid).sum()) == 5
+    assert int(victim) == -1
