@@ -47,9 +47,16 @@ class LoopCloser:
     def __init__(self, cfg: SlamConfig, consistency_th: int = 3,
                  vocab_k: int = 8, vocab_depth: int = 3,
                  min_sim3_matches: int = 20, min_total_matches: int = 40,
-                 gba_iters: int = 10, recent_frames_guard: int = 30):
+                 gba_iters: int = 10, recent_frames_guard: int = 30,
+                 vocab_path: Optional[str] = None):
         self.cfg = cfg
         self.vocab: Optional[Vocabulary] = None
+        if vocab_path is not None:
+            # pretrained DBoW2 text vocabulary (the reference System
+            # ctor's ORBvoc.txt path, src/System.cc ~L55 [U])
+            from active_orb_slam2_tpu.models.vocabulary import (
+                load_text_vocabulary)
+            self.vocab = load_text_vocabulary(vocab_path)
         self.vocab_k = vocab_k
         self.vocab_depth = vocab_depth
         self.consistency_th = consistency_th

@@ -60,7 +60,8 @@ class System:
 
     def __init__(self, cfg: SlamConfig, use_mapping: bool = True,
                  use_loop_closing: bool = False,
-                 pipeline_depth=None, retire_batch=None):
+                 pipeline_depth=None, retire_batch=None,
+                 vocab_path=None):
         self.cfg = cfg
         self.make_rgbd, self.make_mono = build_frame_pipeline(cfg)
         self.track_step = build_track_step(cfg)
@@ -69,7 +70,10 @@ class System:
         self.loop_closer = None
         if use_loop_closing:
             from active_orb_slam2_tpu.models.loop_closing import LoopCloser
-            self.loop_closer = LoopCloser(cfg)
+            # vocab_path: pretrained DBoW2 text vocabulary, the analog
+            # of the reference System(vocabFile, ...) argument; without
+            # it the vocabulary is self-trained from map descriptors
+            self.loop_closer = LoopCloser(cfg, vocab_path=vocab_path)
         self.n_loops_closed = 0
         self.relocalizer = None        # built lazily on first LOST frame
 
@@ -118,6 +122,31 @@ class System:
         self.metrics = []                # per-frame dict
 
     # ----------------------------------------------------- state / pipeline
+
+    def reset(self):
+        """``System::Reset`` [U]: drop the map and all bookkeeping and
+        return to NOT_INITIALIZED (the reference's mpTracker->Reset()
+        clears Map, KeyFrameDatabase, and relative-pose records)."""
+        self.flush()
+        self.map = empty_map(self.cfg.map, self.cfg.orb)
+        self.track = init_track_state(self.cfg.orb.n_features)
+        self._state = NOT_INITIALIZED
+        self._ref_frame = None
+        self._init_key = None
+        self.frame_id = 0
+        self.kf_seq = 0
+        self.last_kf_slot = -1
+        self.last_kf_frame = -10**9
+        self.last_kf_inliers = 0
+        self.rel_records = []
+        self.kf_records = []
+        self.metrics = []
+        self._pending = []
+        if self.loop_closer is not None:
+            self.loop_closer.prev_groups = []
+            self.loop_closer.loop_edges = []
+            self.loop_closer.last_loop_kf_seq = -10
+        self.n_loops_closed = 0
 
     @property
     def state(self):

@@ -100,3 +100,26 @@ def test_checkpoint_roundtrip(run_result):
         np.asarray(slam2.map.pt_valid), np.asarray(slam.map.pt_valid))
     np.testing.assert_allclose(
         np.asarray(slam2.map.kf_pose), np.asarray(slam.map.kf_pose))
+
+
+def test_system_reset():
+    """System.reset() (reference System::Reset [U]) returns to
+    NOT_INITIALIZED with an empty map and can re-initialize."""
+    from active_orb_slam2_tpu.models.system import NOT_INITIALIZED, System
+    s2 = System(CFG)
+    from active_orb_slam2_tpu.io.synthetic import (
+        default_world, make_sequence, orbit_trajectory)
+    seq = list(make_sequence(6, CAM, world=default_world(),
+                             trajectory=orbit_trajectory(6, radius=2.0,
+                                                         step_deg=2.0)))
+    for i, (g, d, _) in enumerate(seq):
+        s2.track_rgbd(g, d, i / 30.0)
+    assert s2.kf_seq > 0
+    s2.reset()
+    assert s2.state == NOT_INITIALIZED
+    assert s2.kf_seq == 0 and s2.rel_records == [] and s2.kf_records == []
+    assert int(np.asarray(s2.map.pt_valid).sum()) == 0
+    # re-initializes cleanly after reset
+    for i, (g, d, _) in enumerate(seq):
+        s2.track_rgbd(g, d, i / 30.0)
+    assert s2.kf_seq > 0 and s2.state == OK

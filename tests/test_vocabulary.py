@@ -68,3 +68,84 @@ def test_detect_candidates_excludes_covis(rng):
     acc = np.asarray(accept)
     assert not acc[1] and not acc[2]
     assert acc[3]
+
+
+def test_text_roundtrip(rng, tmp_path):
+    """save_text_vocabulary / load_text_vocabulary round-trip the DBoW2
+    text format (reference TemplatedVocabulary::{saveToTextFile,
+    loadFromTextFile} [U]) bit-exactly."""
+    from active_orb_slam2_tpu.models.vocabulary import (
+        load_text_vocabulary, save_text_vocabulary)
+    desc = make_descs(rng, 300)
+    voc = train_vocabulary(desc, k=4, depth=2, iters=3)
+    p = tmp_path / "voc.txt"
+    save_text_vocabulary(voc, str(p))
+    voc2 = load_text_vocabulary(str(p))
+    assert voc2.k == 4 and voc2.depth == 2
+    np.testing.assert_array_equal(np.asarray(voc.centers),
+                                  np.asarray(voc2.centers))
+    np.testing.assert_allclose(np.asarray(voc.idf), np.asarray(voc2.idf),
+                               rtol=1e-6)
+    w1, b1 = transform(voc, jnp.asarray(desc), jnp.ones(300, bool))
+    w2, b2 = transform(voc2, jnp.asarray(desc), jnp.ones(300, bool))
+    np.testing.assert_array_equal(np.asarray(w1), np.asarray(w2))
+    np.testing.assert_allclose(np.asarray(b1), np.asarray(b2), atol=1e-6)
+
+
+def test_nonfull_tree_descent(tmp_path):
+    """A truncated branch (leaf above the max depth, as in the real
+    ORBvoc.txt) must terminate descent with a self-loop and still map
+    to its word."""
+    from active_orb_slam2_tpu.models.vocabulary import (
+        load_text_vocabulary)
+    # k=2, depth=2 tree: root -> A (leaf at level 1!), B; B -> C, D
+    def desc_line(parent, leaf, bytes32, w):
+        return " ".join([str(parent), "1" if leaf else "0"]
+                        + [str(x) for x in bytes32] + [str(w)])
+    A = [0xFF] * 32                    # far from everything else
+    B = [0x00] * 32
+    C = [0xF0] + [0] * 31
+    D = [0x0F] + [0] * 31
+    lines = ["2 2 0 0",
+             desc_line(0, True, A, 0.5),    # node 1 = A, word 0
+             desc_line(0, False, B, 0.0),   # node 2 = B
+             desc_line(2, True, C, 0.7),    # node 3 = C, word 1
+             desc_line(2, True, D, 0.9)]    # node 4 = D, word 2
+    p = tmp_path / "voc.txt"
+    p.write_text("\n".join(lines) + "\n")
+    voc = load_text_vocabulary(str(p))
+    assert voc.n_words == 3
+    q = np.zeros((3, 8), np.uint32)
+    q[0] = 0xFFFFFFFF      # == A -> word 0 (early leaf, self-loops)
+    q[1, 0] = 0x000000F0   # nearest B then C -> word 1
+    q[2, 0] = 0x0000000F   # nearest B then D -> word 2
+    words, _ = transform(voc, jnp.asarray(q), jnp.ones(3, bool))
+    np.testing.assert_array_equal(np.asarray(words), [0, 1, 2])
+
+
+def test_sparse_transform_matches_dense(rng):
+    """transform_sparse + l1_score_sparse == dense transform + l1_score."""
+    from active_orb_slam2_tpu.models.vocabulary import (
+        l1_score_sparse, transform_sparse)
+    desc = make_descs(rng, 200)
+    voc = train_vocabulary(desc, k=4, depth=3, iters=3)
+    va = jnp.ones(100, bool).at[7].set(False)
+    _, bow_a = transform(voc, jnp.asarray(desc[:100]), va)
+    _, bow_b = transform(voc, jnp.asarray(desc[100:]), jnp.ones(100, bool))
+    wa, ua, va_w = transform_sparse(voc, jnp.asarray(desc[:100]), va)
+    wb, ub, vb_w = transform_sparse(voc, jnp.asarray(desc[100:]),
+                                    jnp.ones(100, bool))
+    # sparse form reconstructs the dense vector
+    dense_a = np.zeros(voc.n_words, np.float32)
+    ua_np, va_np = np.asarray(ua), np.asarray(va_w)
+    dense_a[ua_np[ua_np >= 0]] = va_np[ua_np >= 0]
+    np.testing.assert_allclose(dense_a, np.asarray(bow_a), atol=1e-6)
+    # sparse scoring matches dense scoring
+    s_dense = float(l1_score(bow_a, bow_b[None])[0])
+    s_sparse = float(l1_score_sparse(
+        voc.n_words, ua, va_w, ub[None], vb_w[None])[0])
+    assert abs(s_dense - s_sparse) < 1e-5
+    # self-similarity 1
+    s_self = float(l1_score_sparse(
+        voc.n_words, ua, va_w, ua[None], va_w[None])[0])
+    assert abs(s_self - 1.0) < 1e-5
