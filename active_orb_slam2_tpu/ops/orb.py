@@ -53,14 +53,19 @@ class OrbFeatures(NamedTuple):
 @functools.lru_cache(maxsize=None)
 def descriptor_pattern(seed: int = 1234):
     """Deterministic 256-pair BRIEF sampling pattern [256, 4] int32
-    (x1, y1, x2, y2), clipped to the 31x31 patch."""
+    (x1, y1, x2, y2), clipped to the radius-15 DISC so every rotation
+    of a tap stays inside the 31x31 patch."""
     rng = np.random.default_rng(seed)
     s = 2 * HALF_PATCH + 1
     p1 = rng.normal(0.0, s / 5.0, size=(256, 2))
     p2 = p1 + rng.normal(0.0, s / 10.0, size=(256, 2))
-    pat = np.concatenate([p1, p2], axis=1)
-    pat = np.clip(np.round(pat), -HALF_PATCH, HALF_PATCH).astype(np.int32)
-    return pat  # columns: x1, y1, x2, y2
+
+    def to_disc(p):
+        n = np.linalg.norm(p, axis=-1, keepdims=True)
+        return p * np.minimum(1.0, (HALF_PATCH - 1e-3) / np.maximum(n, 1e-9))
+
+    pat = np.concatenate([to_disc(p1), to_disc(p2)], axis=1)
+    return np.round(pat).astype(np.int32)  # columns: x1, y1, x2, y2
 
 
 @functools.lru_cache(maxsize=None)
@@ -128,44 +133,98 @@ def _threshold_fallback(score, cfg: OrbConfig):
     return jnp.where(eligible, score, 0.0)
 
 
-def _ic_angle(img_padded, ys, xs, pad: int):
-    """Batched intensity-centroid orientation (reference IC_Angle [U])."""
-    mask_np, gx_np, gy_np = _circular_mask()
-    mask, gx, gy = jnp.asarray(mask_np), jnp.asarray(gx_np), jnp.asarray(gy_np)
-
-    def one(y, x):
-        patch = jax.lax.dynamic_slice(
-            img_padded, (y + pad - HALF_PATCH, x + pad - HALF_PATCH),
-            (2 * HALF_PATCH + 1, 2 * HALF_PATCH + 1))
-        m10 = jnp.sum(mask * gx * patch)
-        m01 = jnp.sum(mask * gy * patch)
-        return jnp.arctan2(m01, m10)
-
-    return jax.vmap(one)(ys, xs)
+N_ANGLE_BINS = 30   # canonical ORB: steering quantized to 12 degrees
+_PATCH_LO = 3       # 31x31 working window inside the 40x40 raw patch
+_P40 = 40
 
 
-def _descriptors(blur_padded, ys, xs, angles, pad: int):
-    """Steered BRIEF: rotate the pattern per keypoint, gather, pack bits."""
-    pat = jnp.asarray(descriptor_pattern())                 # [256, 4]
-    x1, y1, x2, y2 = pat[:, 0], pat[:, 1], pat[:, 2], pat[:, 3]
-    c, s = jnp.cos(angles)[:, None], jnp.sin(angles)[:, None]
+@functools.lru_cache(maxsize=None)
+def _moment_matrix():
+    """[40, 40, 2] constant: circular-masked (gx, gy) placed at the
+    31x31 working window of the raw patch (IC_Angle moments [U])."""
+    mask, gx, gy = _circular_mask()
+    G = np.zeros((_P40, _P40, 2), np.float32)
+    sl = slice(_PATCH_LO, _PATCH_LO + 2 * HALF_PATCH + 1)
+    G[sl, sl, 0] = mask * gx
+    G[sl, sl, 1] = mask * gy
+    return G
 
-    def rot(px, py):
-        rx = jnp.round(c * px[None, :] - s * py[None, :]).astype(jnp.int32)
-        ry = jnp.round(s * px[None, :] + c * py[None, :]).astype(jnp.int32)
-        return rx, ry
 
-    rx1, ry1 = rot(x1, y1)
-    rx2, ry2 = rot(x2, y2)
-    r0 = (ys + pad)[:, None]
-    c0 = (xs + pad)[:, None]
-    v1 = blur_padded[r0 + ry1, c0 + rx1]                    # [K, 256]
-    v2 = blur_padded[r0 + ry2, c0 + rx2]
+@functools.lru_cache(maxsize=None)
+def _blur_matrices(ksize: int = 7, sigma: float = 2.0):
+    """Banded [31, 40] matrices B such that ``B @ raw40 @ B.T`` is the
+    Gaussian-blurred 31x31 working window (blur halo lives in the raw
+    patch, so no edge handling is needed)."""
+    from active_orb_slam2_tpu.ops.image import _gaussian_kernel1d
+    g = _gaussian_kernel1d(ksize, sigma)
+    n = 2 * HALF_PATCH + 1
+    B = np.zeros((n, _P40), np.float32)
+    for r in range(n):
+        B[r, r:r + ksize] = g      # blurred row r = raw rows r..r+6
+    return B
+
+
+@functools.lru_cache(maxsize=None)
+def _tap_matrix(seed: int = 1234, nb: int = N_ANGLE_BINS):
+    """One-hot tap-selection tensor [nb, 961, 512] bfloat16.
+
+    For angle bin b, tap t (512 = 256 pairs x 2 endpoints) reads flat
+    patch pixel S[b, :, t].argmax().  Multiplying the flattened blurred
+    patch by S performs the steered-BRIEF sampling ON THE MXU instead of
+    through the (slow, scalar) TPU gather unit.
+    """
+    pat = descriptor_pattern(seed).astype(np.float64)     # [256, 4]
+    px = np.concatenate([pat[:, 0], pat[:, 2]])           # [512]
+    py = np.concatenate([pat[:, 1], pat[:, 3]])
+    n = 2 * HALF_PATCH + 1
+    S = np.zeros((nb, n * n, 512), np.float32)
+    for b in range(nb):
+        th = (b + 0.5) * 2.0 * np.pi / nb
+        c, s = np.cos(th), np.sin(th)
+        rx = np.clip(np.round(c * px - s * py), -HALF_PATCH, HALF_PATCH)
+        ry = np.clip(np.round(s * px + c * py), -HALF_PATCH, HALF_PATCH)
+        flat = ((ry + HALF_PATCH) * n + (rx + HALF_PATCH)).astype(np.int64)
+        S[b, flat, np.arange(512)] = 1.0
+    return S.astype(np.float32)
+
+
+def _keypoint_stage(img_padded, ys, xs, pad: int):
+    """IC_Angle + blur + steered BRIEF for all keypoints of one level.
+
+    One Pallas patch extraction, then batched matmuls: per-patch
+    Gaussian blur (banded matrices), intensity-centroid moments (masked
+    einsum), and binned-steering BRIEF taps (one-hot MXU contraction).
+    Returns (angles [K], desc [K, 8] uint32).
+    """
+    from active_orb_slam2_tpu.ops.patches import extract_patches
+    raw = extract_patches(img_padded, ys, xs, pad)          # [K, 40, 40]
+    K = raw.shape[0]
+
+    G = jnp.asarray(_moment_matrix())
+    m = jnp.einsum('kpq,pqc->kc', raw, G)                   # [K, 2]
+    angles = jnp.arctan2(m[:, 1], m[:, 0])
+
+    B = jnp.asarray(_blur_matrices())                       # [31, 40]
+    blurred = jnp.einsum('rp,kpq,cq->krc', B, raw, B)       # [K, 31, 31]
+
+    nb = N_ANGLE_BINS
+    step = 2.0 * jnp.pi / nb
+    bins = jnp.floor(jnp.mod(angles, 2.0 * jnp.pi) / step).astype(jnp.int32)
+    bins = jnp.clip(bins, 0, nb - 1)
+    onehot = jax.nn.one_hot(bins, nb, dtype=jnp.bfloat16)   # [K, nb]
+    S = jnp.asarray(_tap_matrix()).astype(jnp.bfloat16)     # [nb, 961, 512]
+    flat = blurred.reshape(K, -1).astype(jnp.bfloat16)      # [K, 961]
+    taps_all = jax.lax.dot_general(
+        flat, S, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                 # [K, nb, 512]
+    taps = jnp.einsum('kbt,kb->kt', taps_all, onehot.astype(jnp.float32))
+    v1, v2 = taps[:, :256], taps[:, 256:]
     bits = (v1 < v2).astype(jnp.uint32)                     # [K, 256]
-    lanes = bits.reshape(bits.shape[0], 8, 32)
+    lanes = bits.reshape(K, 8, 32)
     weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))
-    return jnp.sum(lanes * weights[None, None, :], axis=-1,
+    desc = jnp.sum(lanes * weights[None, None, :], axis=-1,
                    dtype=jnp.uint32)                        # [K, 8]
+    return angles, desc
 
 
 def build_extractor(cfg: OrbConfig, height: int, width: int):
@@ -179,19 +238,19 @@ def build_extractor(cfg: OrbConfig, height: int, width: int):
 
     def extract(img):
         outs = []
-        level_img = img
         for lvl in range(cfg.n_levels):
             h, w = sizes[lvl]
-            if lvl > 0:
-                level_img = resize_bilinear(level_img, h, w)
+            # each level resized straight from level 0 (the reference
+            # chains level (l-1) -> l; direct resize is equivalent for
+            # bilinear to f32 tolerance and lets every level's work
+            # start immediately instead of serializing on the chain)
+            level_img = resize_bilinear(img, h, w)
             score = nms3x3(fast_score_map(level_img))
             score = _threshold_fallback(score, cfg)
             n_l = n_per_level[lvl]
             ys, xs, resp = _detect_level(score, n_l, cfg)
             padded = pad_image(level_img, pad)
-            ang = _ic_angle(padded, ys, xs, pad)
-            blurp = gaussian_blur(padded)
-            desc = _descriptors(blurp, ys, xs, ang, pad)
+            ang, desc = _keypoint_stage(padded, ys, xs, pad)
             scale = cfg.scale_factor ** lvl
             uv = jnp.stack([xs.astype(jnp.float32) * scale,
                             ys.astype(jnp.float32) * scale], axis=-1)

@@ -89,8 +89,7 @@ def main():
     timed("resize 640->533", rs_j, gray_f)
 
     from active_orb_slam2_tpu.ops.orb import (
-        _detect_level, _threshold_fallback, _ic_angle, _descriptors,
-        descriptor_pattern)
+        _detect_level, _threshold_fallback, _keypoint_stage)
     score = fast_j(gray_f)
     det_j = jax.jit(lambda s: _detect_level(
         _threshold_fallback(s, cfg.orb), 245, cfg.orb))
@@ -98,12 +97,8 @@ def main():
     ys, xs, resp = det_j(score)
     padded = jax.jit(lambda x: img_ops.pad_image(x, cfg.orb.pad))(gray_f)
     jax.block_until_ready((ys, padded))
-    ic_j = jax.jit(lambda p, y, x: _ic_angle(p, y, x, cfg.orb.pad))
-    timed("IC_Angle (245 kps)", ic_j, padded, ys, xs)
-    ang = ic_j(padded, ys, xs)
-    desc_j = jax.jit(
-        lambda p, y, x, a: _descriptors(p, y, x, a, cfg.orb.pad))
-    timed("descriptors (245 kps)", desc_j, padded, ys, xs, ang)
+    kp_j = jax.jit(lambda p, y, x: _keypoint_stage(p, y, x, cfg.orb.pad))
+    timed("keypoint stage: patches+IC+blur+BRIEF", kp_j, padded, ys, xs)
 
 
 if __name__ == "__main__":
