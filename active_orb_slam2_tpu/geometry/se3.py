@@ -202,7 +202,8 @@ def se3_log(p):
     """SE3 [..., 7] -> twist [..., 6] = [omega, nu]."""
     w = _so3_log(p[..., :4])
     Jl = _left_jacobian_so3(w)
-    v = jnp.linalg.solve(Jl, p[..., 4:7, None])[..., 0]
+    from active_orb_slam2_tpu.geometry.linalg3 import solve3
+    v = solve3(Jl, p[..., 4:7], eps=1e-30)
     return jnp.concatenate([w, v], axis=-1)
 
 
@@ -344,5 +345,6 @@ def sim3_log(g):
             [w, jnp.broadcast_to(basis[i], w.shape), sig[..., None]], axis=-1)
         return sim3_exp(d)[..., 4:7]
     Wm = jnp.stack([col(0), col(1), col(2)], axis=-1)
-    v = jnp.linalg.solve(Wm, g[..., 4:7, None])[..., 0]
+    from active_orb_slam2_tpu.geometry.linalg3 import solve3
+    v = solve3(Wm, g[..., 4:7], eps=1e-30)
     return jnp.concatenate([w, v, sig[..., None]], axis=-1)

@@ -97,7 +97,8 @@ def triangulate_pairs(cam_K, Tcw1, Tcw2, uv1, uv2, refine_iters: int = 2):
         J = jnp.concatenate([J1, J2], axis=-2)            # [..., 4, 3]
         H = jnp.einsum('...ji,...jk->...ik', J, J) + 1e-9 * jnp.eye(3)
         g = jnp.einsum('...ji,...j->...i', J, r)
-        return xw - jnp.linalg.solve(H, g[..., None])[..., 0]
+        from active_orb_slam2_tpu.geometry.linalg3 import solve3
+        return xw - solve3(H, g, eps=1e-30)
 
     for _ in range(refine_iters):
         xw = gn_step(xw)

@@ -97,19 +97,45 @@ class LoopCloser:
             return jax.vmap(one)(desc, valid)
         return all_bows(m.kf_desc, m.kf_feat_valid & m.kf_valid[:, None])
 
+    def score_query(self, m: MapState, q_desc, q_valid):
+        """L1 similarity of one descriptor set against every keyframe,
+        [K] device array.  Dispatches to the fixed-width sparse BoW
+        path for large (e.g. loaded ORBvoc ~1M-word) vocabularies where
+        dense [K, W] inverted-file matrices would be wasteful."""
+        voc = self.vocab
+        if voc.n_words <= 4096:
+            bows = self.kf_bows(m)
+            _, bow_q = transform(voc, q_desc, q_valid)
+            return l1_score(bow_q, bows)
+        from active_orb_slam2_tpu.models.vocabulary import (
+            l1_score_sparse, transform_sparse)
+
+        @jax.jit
+        def sparse_scores(qd, qv, desc, valid):
+            _, qw, qwt = transform_sparse(voc, qd, qv)
+            def one(d, v):
+                _, w, wt = transform_sparse(voc, d, v)
+                return w, wt
+            dbw, dbwt = jax.vmap(one)(desc, valid)
+            return l1_score_sparse(voc.n_words, qw, qwt, dbw, dbwt)
+        return sparse_scores(q_desc, q_valid,
+                             m.kf_desc, m.kf_feat_valid & m.kf_valid[:, None])
+
     # ------------------------------------------------------------- detection
 
     def detect(self, m: MapState, cur_kf: int):
         """Returns loop-candidate KF slot or -1."""
         if self.ensure_vocabulary(m) is None:
             return -1, None
-        bows = self.kf_bows(m)
         W = covisibility_weights(m)
         covis_row = np.asarray(W[cur_kf])
         covis_mask = covis_row >= self.cfg.map.covis_min_weight
         covis_mask[cur_kf] = True
         neighbors = covis_row > 0
-        scores_all = np.asarray(l1_score(bows[cur_kf], bows))
+        scores = self.score_query(
+            m, m.kf_desc[cur_kf],
+            m.kf_feat_valid[cur_kf] & m.kf_valid[cur_kf])
+        scores_all = np.asarray(scores)
         if neighbors.any():
             min_score = max(float(scores_all[neighbors].min()), 0.02)
         else:
@@ -119,8 +145,10 @@ class LoopCloser:
         recent = np.asarray(m.kf_frame_id) >= (
             int(np.asarray(m.kf_frame_id[cur_kf]))
             - self.recent_frames_guard)
-        _, accept = detect_candidates(
-            bows[cur_kf], bows, m.kf_valid & jnp.asarray(~recent),
+        from active_orb_slam2_tpu.models.vocabulary import (
+            detect_candidates_from_scores)
+        _, accept = detect_candidates_from_scores(
+            scores, m.kf_valid & jnp.asarray(~recent),
             jnp.asarray(covis_mask), min_score,
             covis_weights=W)
         accept = np.asarray(accept)
@@ -139,7 +167,7 @@ class LoopCloser:
         if len(self.prev_groups) < self.consistency_th or not consistent.any():
             return -1, None
         cand = int(np.argmax(np.where(consistent, scores_all, -1)))
-        return cand, bows
+        return cand, scores_all
 
     # ---------------------------------------------------------------- verify
 

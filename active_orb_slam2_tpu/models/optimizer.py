@@ -64,9 +64,10 @@ def _edge_residual_jac(cam: CameraParams, pose, pw, obs_uvr, has_stereo):
     u = cam.fx * x * iz + cam.cx
     v = cam.fy * y * iz + cam.cy
     ur = u - cam.bf * iz
-    pred = jnp.stack([u, v, ur], axis=-1)
-    r = pred - obs_uvr
-    r = r.at[:, 2].set(jnp.where(has_stereo, r[:, 2], 0.0))
+    # scatter-free construction: .at[].set lowers to the (serialized)
+    # TPU scatter unit and dominated the sequential LM iterations
+    r = jnp.stack([u - obs_uvr[:, 0], v - obs_uvr[:, 1],
+                   jnp.where(has_stereo, ur - obs_uvr[:, 2], 0.0)], -1)
 
     zero = jnp.zeros_like(x)
     # d(u,v,uR)/d pc  -> [E, 3, 3]
@@ -81,10 +82,11 @@ def _edge_residual_jac(cam: CameraParams, pose, pw, obs_uvr, has_stereo):
          has_stereo.astype(jnp.float32)], -1)[..., None]
 
     # d pc / d delta = [ -[pc]x | I ]  (left perturbation on Tcw)
-    px = jnp.zeros((pc.shape[0], 3, 3))
-    px = px.at[:, 0, 1].set(-z).at[:, 0, 2].set(y)
-    px = px.at[:, 1, 0].set(z).at[:, 1, 2].set(-x)
-    px = px.at[:, 2, 0].set(-y).at[:, 2, 1].set(x)
+    px = jnp.stack([
+        jnp.stack([zero, -z, y], -1),
+        jnp.stack([z, zero, -x], -1),
+        jnp.stack([-y, x, zero], -1),
+    ], axis=-2)
     J_pose = jnp.concatenate([jnp.einsum('eij,ejk->eik', J_pc, -px),
                               J_pc], axis=-1)           # [E, 3, 6]
 
@@ -103,6 +105,46 @@ def _edge_chi2(r, w_info, has_stereo):
     return w_info * jnp.sum(r * r, axis=-1)
 
 
+def solve_spd(H, b, n: int = 6):
+    """Unrolled Cholesky solve for one small SPD system.
+
+    ``jnp.linalg.solve`` lowers tiny LU factorizations to a column loop
+    with dynamic slicing — ~50us per call on TPU, which dominated the
+    44-iteration LM chain of pose_optimization.  A statically unrolled
+    scalar Cholesky fuses into the surrounding kernel instead.
+
+    H [n, n] SPD (damped), b [n] -> x [n].
+    """
+    h = [[H[i, j] for j in range(n)] for i in range(n)]
+    L = [[None] * n for _ in range(n)]
+    for j in range(n):
+        s = h[j][j]
+        for k in range(j):
+            s = s - L[j][k] * L[j][k]
+        L[j][j] = jnp.sqrt(jnp.maximum(s, 1e-20))
+        inv_d = 1.0 / L[j][j]
+        for i in range(j + 1, n):
+            s = h[i][j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            L[i][j] = s * inv_d
+    # forward substitution L y = b
+    y = [None] * n
+    for i in range(n):
+        s = b[i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    # back substitution L^T x = y
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return jnp.stack(x)
+
+
 def _huber_weight(chi2, has_stereo, enabled=True):
     """Multiplicative IRLS weight from the Huber kernel at the reference
     deltas: rho'(chi2) = min(1, delta / sqrt(chi2))."""
@@ -116,6 +158,49 @@ class PoseOptResult(NamedTuple):
     inliers: jnp.ndarray   # [E] bool
     n_inliers: jnp.ndarray  # int32
     chi2: jnp.ndarray      # float32 (inlier chi2 sum)
+
+
+def _edge_terms_flat(cam: CameraParams, pose, pw, obs_uvr, has_stereo):
+    """Component-form residuals + pose Jacobian for the LM hot loop.
+
+    [E, 3, 6]-shaped arrays tile as (8, 128) on TPU with the minor dims
+    3/6 padded to a full tile (~20x wasted bandwidth), which dominated
+    the 44 sequential LM iterations.  Everything here is flat [E]
+    vectors (E = n_features, a multiple of 8*128) — zero padding, and
+    XLA fuses the whole linearization into a couple of passes.
+
+    Returns (r [3][E], J [3][6][E], zpos [E]).
+    """
+    q, t = pose[..., :4], pose[..., 4:7]
+    pc = quat_rotate(q, pw) + t
+    x, y, z = pc[:, 0], pc[:, 1], pc[:, 2]
+    zs = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+    iz = 1.0 / zs
+    iz2 = iz * iz
+
+    u = cam.fx * x * iz + cam.cx
+    v = cam.fy * y * iz + cam.cy
+    ur = u - cam.bf * iz
+    st = has_stereo.astype(jnp.float32)
+    r = [u - obs_uvr[:, 0], v - obs_uvr[:, 1],
+         st * (ur - obs_uvr[:, 2])]
+
+    zero = jnp.zeros_like(x)
+    # J_pc rows (d residual_a / d pc)
+    jpc = [
+        [cam.fx * iz, zero, -cam.fx * x * iz2],
+        [zero, cam.fy * iz, -cam.fy * y * iz2],
+        [st * cam.fx * iz, zero, st * (-cam.fx * x * iz2 + cam.bf * iz2)],
+    ]
+    # px = [[0,-z,y],[z,0,-x],[-y,x,0]]; J_rot = -J_pc @ px, J_tr = J_pc
+    px = [[zero, -z, y], [z, zero, -x], [-y, x, zero]]
+    J = [[None] * 6 for _ in range(3)]
+    for a in range(3):
+        for i in range(3):
+            J[a][i] = -(jpc[a][0] * px[0][i] + jpc[a][1] * px[1][i]
+                        + jpc[a][2] * px[2][i])
+            J[a][3 + i] = jpc[a][i]
+    return r, J, z > 0
 
 
 def pose_optimization(cam: CameraParams, pose0, pw, obs_uvr, level,
@@ -135,22 +220,29 @@ def pose_optimization(cam: CameraParams, pose0, pw, obs_uvr, level,
     w_info = inv_sigma2(level)
     chi2_th = jnp.where(has_stereo, CHI2_STEREO, CHI2_MONO)
 
-    def compute_chi2(pose, inl):
-        r, _, _, zpos = _edge_residual_jac(cam, pose, pw, obs_uvr, has_stereo)
-        c2 = _edge_chi2(r, w_info, has_stereo)
+    def flat_chi2(pose):
+        r, _, zpos = _edge_terms_flat(cam, pose, pw, obs_uvr, has_stereo)
+        c2 = w_info * (r[0] * r[0] + r[1] * r[1] + r[2] * r[2])
         return c2, zpos
+
+    def compute_chi2(pose, inl):
+        return flat_chi2(pose)
 
     def lm_round(pose, inliers, use_huber):
         # Damped GN with chi2-carried accept/reject: ONE linearization
         # per iteration (the current residual doubles as the acceptance
         # check of the previous step) — half the cost of classic LM at
-        # the same 10-iteration budget.
+        # the same 10-iteration budget.  Component form ([E] vectors)
+        # throughout: see _edge_terms_flat.
+        inl_f = inliers.astype(jnp.float32)
+
         def body(carry, _):
             pose, best_pose, best_chi2, lam = carry
-            r, Jp, _, zpos = _edge_residual_jac(
+            r, J, zpos = _edge_terms_flat(
                 cam, pose, pw, obs_uvr, has_stereo)
-            c2 = _edge_chi2(r, w_info, has_stereo)
-            chi2 = jnp.sum(jnp.where(inliers & zpos, c2, 0.0))
+            c2 = w_info * (r[0] * r[0] + r[1] * r[1] + r[2] * r[2])
+            gate = inl_f * zpos.astype(jnp.float32)
+            chi2 = jnp.sum(c2 * gate)
             # acceptance of the PREVIOUS step, judged by this residual
             worse = chi2 > best_chi2
             lam = jnp.clip(jnp.where(worse, lam * 4.0, lam * 0.5),
@@ -160,11 +252,21 @@ def pose_optimization(cam: CameraParams, pose0, pw, obs_uvr, level,
             # step from the current linearization when accepted; on a
             # reject, fall back to the best pose (next iteration then
             # re-linearizes there under the larger damping)
-            w = w_info * _huber_weight(c2, has_stereo, use_huber)
-            w = jnp.where(inliers & zpos, w, 0.0)
-            H = jnp.einsum('eai,e,eaj->ij', Jp, w, Jp)
-            b = -jnp.einsum('eai,e,ea->i', Jp, w, r)
-            step = jnp.linalg.solve(
+            w = w_info * _huber_weight(c2, has_stereo, use_huber) * gate
+            # normal equations via ONE MXU matmul: M [7, 3E] holds the 6
+            # Jacobian columns + the residual as rows (minor dim 3E —
+            # zero tile padding); A = (M w) M^T gives H = A[:6,:6],
+            # b = -A[:6,6] in a single [7,7] product.
+            rows = [jnp.concatenate([J[0][i], J[1][i], J[2][i]])
+                    for i in range(6)]
+            rows.append(jnp.concatenate([r[0], r[1], r[2]]))
+            M = jnp.stack(rows)                       # [7, 3E]
+            w3 = jnp.concatenate([w, w, w])
+            A = jnp.matmul(M * w3[None, :], M.T,
+                           precision=jax.lax.Precision.HIGHEST)
+            H = A[:6, :6]
+            b = -A[:6, 6]
+            step = solve_spd(
                 H + lam * jnp.diag(jnp.diagonal(H)) + 1e-9 * jnp.eye(6), b)
             new_pose = jnp.where(worse, best_pose,
                                  se3_retract(pose, step))
@@ -174,9 +276,7 @@ def pose_optimization(cam: CameraParams, pose0, pw, obs_uvr, level,
             body, (pose, pose, jnp.float32(jnp.inf), jnp.float32(1e-4)),
             None, length=iters_per_round)
         # final acceptance of the last proposed step
-        r, _, _, zpos = _edge_residual_jac(cam, cand, pw, obs_uvr,
-                                           has_stereo)
-        c2 = _edge_chi2(r, w_info, has_stereo)
+        c2, zpos = flat_chi2(cand)
         cand_chi2 = jnp.sum(jnp.where(inliers & zpos, c2, 0.0))
         better = cand_chi2 <= chi2
         return (jnp.where(better, cand, pose),
@@ -264,7 +364,8 @@ def _ba_solve_step(cam, poses, points, e: BAEdges, fixed_cam, inliers,
     eye6 = jnp.eye(6)
     Hpp_d = Hpp + lam * Hpp * eye3 + 1e-6 * eye3
     Hcc_d = Hcc + lam * Hcc * eye6 + 1e-6 * eye6
-    Hpp_inv = jnp.linalg.inv(Hpp_d)
+    from active_orb_slam2_tpu.geometry.linalg3 import inv3
+    Hpp_inv = inv3(Hpp_d, eps=1e-30)
 
     C = jnp.einsum('plij,pjk->plik', B, Hpp_inv)          # [Pl, Lt, 6, 3]
     S_red = jnp.einsum('plik,pmjk->limj', C, B)           # [Lt,6,Lt,6]

@@ -55,6 +55,33 @@ def _stats_ready(stats) -> bool:
         return True
 
 
+def host_fetch(*arrays):
+    """Pull device arrays to host WITHOUT the synchronous-RPC tax.
+
+    On a tunneled device (axon) any blocking pull — ``np.asarray`` on a
+    not-yet-copied array, ``block_until_ready`` — costs a ~25-40 ms
+    round trip regardless of size, while ``is_ready`` polls are ~0.4 us
+    and ``copy_to_host_async`` + asarray of a landed buffer is free.
+    So: start async copies for everything, spin on is_ready (the wait
+    then tracks true compute latency, not the sync-RPC floor), then
+    read the host-cached buffers.
+    """
+    import time
+    for a in arrays:
+        try:
+            a.copy_to_host_async()
+        except (AttributeError, NotImplementedError):
+            pass
+    for a in arrays:
+        try:
+            while not a.is_ready():
+                time.sleep(0.0002)
+        except AttributeError:
+            pass
+    out = [np.asarray(a) for a in arrays]
+    return out[0] if len(out) == 1 else out
+
+
 class System:
     """RGB-D / stereo / monocular SLAM engine."""
 
@@ -199,7 +226,16 @@ class System:
         """Pull a retirement batch to host.  Each entry's D2H copy was
         started asynchronously at dispatch time (``copy_to_host_async``),
         so with a deep enough pipeline these np.asarray calls read
-        host-cached data instead of paying a device round trip."""
+        host-cached data instead of paying a device round trip.  If a
+        copy hasn't landed yet, spin on is_ready instead of blocking
+        (a blocking pull costs a ~25-40 ms sync RPC on the tunnel)."""
+        import time
+        for s in stats_list:
+            try:
+                while not s.is_ready():
+                    time.sleep(0.0002)
+            except AttributeError:
+                break
         return np.stack([np.asarray(s) for s in stats_list])
 
     def _retire(self, n):
@@ -329,21 +365,24 @@ class System:
         assoc0 = jnp.full((self.cfg.orb.n_features,), -1, jnp.int32)
         self.map, k, ok = self.create_kf(
             self.map, frame, pose, assoc0, self.frame_id, self.kf_seq, -1)
+        k, ok = host_fetch(k, ok)
         if not bool(ok):
             self._record_frame(timestamp, np.asarray(pose))
             return pose
-        self.last_kf_slot = int(k)
+        k = int(k)
+        self.last_kf_slot = k
         self.kf_seq += 1
         self.last_kf_frame = self.frame_id
-        self.last_kf_inliers = int(np.asarray(
-            (self.map.kf_point[int(k)] >= 0).sum()))
-        self.kf_records.append((timestamp, int(k)))
+        n_obs, kf_pose_np = host_fetch(
+            (self.map.kf_point[k] >= 0).sum(), self.map.kf_pose[k])
+        self.last_kf_inliers = int(n_obs)
+        self.kf_records.append((timestamp, k))
         # seed track state with the KF associations
         self.track = self.track._replace(
-            assoc=self.map.kf_point[int(k)],
+            assoc=self.map.kf_point[k],
             ok=jnp.array(True))
         self._state = OK
-        self._last_kf_pose_np = np.asarray(self.map.kf_pose[int(k)])
+        self._last_kf_pose_np = kf_pose_np
         self._record_frame(timestamp, np.asarray(pose))
         return pose
 
@@ -369,10 +408,13 @@ class System:
     def _insert_keyframe(self, frame, st, timestamp, frame_id, n_inliers):
         """Insert the retired frame as a keyframe and run the mapping
         stages.  All dispatches are async — the device queue absorbs
-        them exactly like the reference's background mapping thread."""
+        them exactly like the reference's background mapping thread.
+        The few scalars the host needs come back through host_fetch
+        (async copy + is_ready spin), never a blocking sync RPC."""
         self.map, k, ok = self.create_kf(
             self.map, frame, st.pose, st.assoc,
             frame_id, self.kf_seq, self.last_kf_slot)
+        k, ok = host_fetch(k, ok)
         if not bool(ok):
             return
         k = int(k)
@@ -381,6 +423,7 @@ class System:
         self.last_kf_frame = frame_id
         self.last_kf_inliers = n_inliers
         self.kf_records.append((timestamp, k))
+        victim = None
         if self.use_mapping and self.triangulate_new_points:
             # CreateNewMapPoints + SearchInNeighbors (reference mapping
             # thread order, SURVEY.md §3.3)
@@ -389,8 +432,10 @@ class System:
         if self.use_mapping:
             self.map = self.mapping_step(self.map, k, self.kf_seq)
             self.map, victim = self.kf_culling(self.map, k)
-            self._on_keyframe_culled(int(victim))
         if self.loop_closer is not None:
+            if victim is not None:
+                self._on_keyframe_culled(int(host_fetch(victim)))
+                victim = None
             self.map, closed = self.loop_closer.process_keyframe(
                 self.map, k, self.kf_seq)
             if closed:
@@ -402,8 +447,14 @@ class System:
                 self.track = self.track._replace(
                     pose=self.map.kf_pose[k],
                     vel_ok=jnp.array(False))
-        # host cache of the reference-KF pose for per-frame Tcr records
-        self._last_kf_pose_np = np.asarray(self.map.kf_pose[k])
+        # host cache of the reference-KF pose for per-frame Tcr records;
+        # fetch the victim in the same spin (one wait for both)
+        if victim is not None:
+            vnp, self._last_kf_pose_np = host_fetch(
+                victim, self.map.kf_pose[k])
+            self._on_keyframe_culled(int(vnp))
+        else:
+            self._last_kf_pose_np = host_fetch(self.map.kf_pose[k])
 
     def _on_keyframe_culled(self, victim: int):
         """Culled slots are recycled by later keyframes, so repoint any
@@ -416,9 +467,12 @@ class System:
         if victim < 0:
             return
         from active_orb_slam2_tpu.utils import np_se3
-        parent = int(self.map.kf_parent[victim])
-        vpose = np.asarray(self.map.kf_pose[victim], np.float64)
-        ppose = np.asarray(self.map.kf_pose[parent], np.float64)
+        parent_a, vpose_a = host_fetch(
+            self.map.kf_parent[victim], self.map.kf_pose[victim])
+        parent = int(parent_a)
+        vpose = np.asarray(vpose_a, np.float64)
+        ppose = np.asarray(host_fetch(self.map.kf_pose[parent]),
+                           np.float64)
         t_vp = np_se3.se3_compose(vpose, np_se3.se3_inverse(ppose))
         self.rel_records = [
             (t, parent, np_se3.se3_compose(tcr, t_vp)) if ref == victim
@@ -495,7 +549,7 @@ class System:
             self._init_key = jax.random.PRNGKey(3)
 
         pose = jnp.asarray(self.track.pose)
-        n_valid = int(np.asarray(frame.valid.sum()))
+        n_valid = int(host_fetch(frame.valid.sum()))
         if self._ref_frame is None or n_valid < 100:
             if n_valid >= 100:
                 self._ref_frame = frame
@@ -533,7 +587,7 @@ class System:
             pose=pose2, assoc=kp1, ok=jnp.array(True),
             vel_ok=jnp.array(False))
         self._state = OK
-        self._last_kf_pose_np = np.asarray(self.map.kf_pose[1])
+        self._last_kf_pose_np = host_fetch(self.map.kf_pose[1])
         self._record_frame(timestamp, np.asarray(pose2))
         return pose2
 
@@ -549,11 +603,10 @@ class System:
         n_cand = 4
         lc = self.loop_closer
         if lc is not None and lc.ensure_vocabulary(self.map) is not None:
-            from active_orb_slam2_tpu.models.vocabulary import (
-                l1_score, transform)
-            bows = lc.kf_bows(self.map)
-            _, bow_q = transform(lc.vocab, frame.desc, frame.valid)
-            scores = np.asarray(l1_score(bow_q, bows)).copy()
+            # KeyFrameDatabase::DetectRelocalizationCandidates [U] —
+            # score against every KF (sparse BoW path for big vocabs)
+            scores = np.asarray(lc.score_query(
+                self.map, frame.desc, frame.valid)).copy()
             scores[~np.asarray(self.map.kf_valid)] = -1.0
             cands = np.argsort(-scores)[:n_cand].astype(np.int32)
             cands[scores[cands] <= 0] = -1

@@ -101,14 +101,17 @@ def _cam_center(pose):
 
 
 def _pose_opt_from_assoc(cam, pose0, m: MapState, frame: FrameData, assoc):
-    """Motion-only BA over the current feature->point associations."""
+    """Motion-only BA over the current feature->point associations
+    (the Pallas fused LM kernel — see ops/pose_opt_kernel.py)."""
+    from active_orb_slam2_tpu.ops.pose_opt_kernel import (
+        pose_optimization_fused)
     matched = (assoc >= 0) & frame.valid
     pt = jnp.clip(assoc, 0)
     pw = m.pt_xyz[pt]
     obs_uvr = jnp.concatenate([frame.uv, frame.ur[:, None]], axis=-1)
     has_stereo = frame.ur > 0
-    res = pose_optimization(cam, pose0, pw, obs_uvr, frame.level,
-                            has_stereo, matched & m.pt_valid[pt])
+    res = pose_optimization_fused(cam, pose0, pw, obs_uvr, frame.level,
+                                  has_stereo, matched & m.pt_valid[pt])
     return res
 
 

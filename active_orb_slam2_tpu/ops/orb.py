@@ -110,7 +110,19 @@ def _detect_level(score, n_keep: int, cfg: OrbConfig):
     sp = jnp.pad(score, ((0, pad_h), (0, pad_w)))
     cells = sp.reshape(hc, cs, wc, cs).transpose(0, 2, 1, 3)
     cells = cells.reshape(hc * wc, cs * cs)
-    vals, idx = jax.lax.top_k(cells, cfg.cell_top_k)      # [C, k]
+    # per-cell top-k via k max+mask passes: cheap VPU reductions vs
+    # lax.top_k's sort-based lowering over [C, cs*cs]
+    vals_l, idx_l = [], []
+    x = cells
+    rows = jnp.arange(hc * wc, dtype=jnp.int32)
+    for _ in range(cfg.cell_top_k):
+        i = jnp.argmax(x, axis=1).astype(jnp.int32)
+        v = jnp.take_along_axis(x, i[:, None], axis=1)[:, 0]
+        vals_l.append(v)
+        idx_l.append(i)
+        x = x.at[rows, i].set(-jnp.inf)
+    vals = jnp.stack(vals_l, axis=1)                      # [C, k]
+    idx = jnp.stack(idx_l, axis=1)
     cell_ids = jnp.arange(hc * wc, dtype=jnp.int32)[:, None]
     ys = (cell_ids // wc) * cs + idx // cs
     xs = (cell_ids % wc) * cs + idx % cs

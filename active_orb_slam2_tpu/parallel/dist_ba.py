@@ -115,7 +115,8 @@ def _shard_reduced_system(cam: CameraParams, poses, points, e: PointEdges,
 
     eye3 = jnp.eye(3)
     Hpp_d = Hpp + lam * Hpp * eye3 + 1e-6 * eye3
-    Hpp_inv = jnp.linalg.inv(Hpp_d)
+    from active_orb_slam2_tpu.geometry.linalg3 import inv3
+    Hpp_inv = inv3(Hpp_d, eps=1e-30)
 
     C = jnp.einsum('poij,pjk->poik', A, Hpp_inv)          # [Pn, O, 6, 3]
 

@@ -76,7 +76,7 @@ def main():
     uv_p = jax.random.uniform(key, (C, 2)) * 600
     radii = jnp.full((C,), 4.0)
     lv = jnp.zeros((C,), jnp.int32)
-    pdesc = jax.random.randint(key, (C, 8), 0, 2**31, jnp.uint32)
+    pdesc = jax.random.bits(key, (C, 8), jnp.uint32)
     pok = jnp.ones((C,), bool)
     f_sbp = jax.jit(lambda uv_p, pdesc: search_by_projection(
         uv_p, radii, lv, pdesc, pok, frame.uv, frame.level, frame.desc,

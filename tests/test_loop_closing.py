@@ -155,3 +155,51 @@ def test_loop_rejects_without_consistency(loop_setup):
     lc = LoopCloser(CFG, recent_frames_guard=0)
     _, closed = lc.process_keyframe(m, Ka + Kb - 1, kf_seq=20)
     assert not closed
+
+
+def test_score_query_sparse_matches_dense(rng):
+    """LoopCloser.score_query dispatches to the sparse BoW path for
+    big vocabularies; its scores must match the dense computation."""
+    import jax.numpy as jnp
+    from active_orb_slam2_tpu.config import (
+        MapConfig, OrbConfig, SlamConfig, TrackingConfig)
+    from active_orb_slam2_tpu.geometry import CameraParams
+    from active_orb_slam2_tpu.models.loop_closing import LoopCloser
+    from active_orb_slam2_tpu.models.map_state import empty_map
+    from active_orb_slam2_tpu.models.vocabulary import (
+        Vocabulary, _full_tree_children, l1_score, transform)
+
+    cam = CameraParams(fx=100., fy=100., cx=32., cy=32., bf=10.,
+                       width=64, height=64)
+    cfg = SlamConfig(camera=cam, orb=OrbConfig(n_features=64, n_levels=2),
+                     tracking=TrackingConfig(),
+                     map=MapConfig(max_keyframes=4, max_points=256))
+    # synthetic full tree with > 4096 words to trigger the sparse path
+    k, depth = 9, 4
+    n_nodes = sum(k ** (l + 1) for l in range(depth))
+    centers = rng.integers(0, 2**32, (n_nodes, 8), dtype=np.uint32)
+    children, word_id = _full_tree_children(k, depth)
+    voc = Vocabulary(centers=jnp.asarray(centers),
+                     children=jnp.asarray(children),
+                     word_id=jnp.asarray(word_id),
+                     idf=jnp.ones((k ** depth,), jnp.float32),
+                     k=k, depth=depth)
+    assert voc.n_words > 4096
+
+    lc = LoopCloser(cfg)
+    lc.vocab = voc
+    m = empty_map(cfg.map, cfg.orb)
+    desc = rng.integers(0, 2**32, (4, 64, 8), dtype=np.uint32)
+    m = m._replace(
+        kf_desc=jnp.asarray(desc),
+        kf_feat_valid=jnp.ones((4, 64), bool),
+        kf_valid=jnp.ones((4,), bool))
+    q_desc = jnp.asarray(desc[1])
+    q_valid = jnp.ones((64,), bool)
+    s_sparse = np.asarray(lc.score_query(m, q_desc, q_valid))
+
+    _, bow_q = transform(voc, q_desc, q_valid)
+    bows = lc.kf_bows(m)
+    s_dense = np.asarray(l1_score(bow_q, bows))
+    np.testing.assert_allclose(s_sparse, s_dense, atol=1e-5)
+    assert abs(s_sparse[1] - 1.0) < 1e-5

@@ -161,3 +161,48 @@ def test_ba_schur_equals_dense_oracle(rng):
                                atol=5e-4)
     np.testing.assert_allclose(np.asarray(dp).ravel(), delta[nC:],
                                atol=5e-4)
+
+
+def test_fused_pose_opt_matches_reference_impl(rng):
+    """The Pallas fused pose optimizer must reproduce the XLA
+    pose_optimization (same schedule, same accept/reject) to f32
+    tolerance on a realistic noisy problem."""
+    import jax.numpy as jnp
+    from active_orb_slam2_tpu.geometry.se3 import se3_apply
+    from active_orb_slam2_tpu.models.optimizer import pose_optimization
+    from active_orb_slam2_tpu.ops.pose_opt_kernel import (
+        pose_optimization_fused)
+
+    cam = CameraParams(fx=300.0, fy=300.0, cx=160.0, cy=120.0, bf=30.0,
+                       width=320, height=240)
+    E = 256
+    pw = jnp.asarray(rng.uniform(-2, 2, (E, 3)))
+    pw = pw.at[:, 2].add(5.0)
+    true_pose = jnp.array([0.9990482, 0.0, 0.0436194, 0.0,
+                           0.1, -0.05, 0.2], jnp.float32)
+    pc = se3_apply(true_pose, pw)
+    u = cam.fx * pc[:, 0] / pc[:, 2] + cam.cx
+    v = cam.fy * pc[:, 1] / pc[:, 2] + cam.cy
+    ur = u - cam.bf / pc[:, 2]
+    obs = jnp.stack([u, v, ur], -1)
+    obs = obs + jnp.asarray(rng.normal(0, 0.5, (E, 3)))
+    # 10% outliers
+    out_sel = rng.random(E) < 0.1
+    obs = jnp.where(jnp.asarray(out_sel)[:, None],
+                    obs + jnp.asarray(rng.uniform(20, 80, (E, 3))), obs)
+    level = jnp.asarray(rng.integers(0, 4, E).astype(np.int32))
+    has_stereo = jnp.asarray(rng.random(E) < 0.5)
+    valid = jnp.ones((E,), bool)
+    pose0 = jnp.array([1.0, 0, 0, 0, 0.05, 0.0, 0.15], jnp.float32)
+
+    ref = pose_optimization(cam, pose0, pw, obs, level, has_stereo, valid)
+    fus = pose_optimization_fused(cam, pose0, pw, obs, level, has_stereo,
+                                  valid)
+    np.testing.assert_allclose(np.asarray(fus.pose), np.asarray(ref.pose),
+                               atol=2e-3)
+    # inlier sets agree except borderline chi2 edges
+    agree = (np.asarray(fus.inliers) == np.asarray(ref.inliers)).mean()
+    assert agree > 0.97, agree
+    # both recover the true pose
+    err = np.linalg.norm(np.asarray(fus.pose[4:7] - true_pose[4:7]))
+    assert err < 0.02, err
