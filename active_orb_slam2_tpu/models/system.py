@@ -612,9 +612,15 @@ class System:
             cands[scores[cands] <= 0] = -1
         else:
             # no vocabulary yet: try the most recent keyframes
-            slots = [k for _, k in self.kf_records[-n_cand:]]
+            slots = [k for _, k in self.kf_records[-n_cand:]][::-1]
+            if not slots:
+                # e.g. right after load_map: no host records — fall
+                # back to the newest valid slots in the arena itself
+                valid = np.flatnonzero(np.asarray(self.map.kf_valid))
+                fid = np.asarray(self.map.kf_frame_id)[valid]
+                slots = list(valid[np.argsort(-fid)][:n_cand])
             cands = np.full(n_cand, -1, np.int32)
-            cands[:len(slots)] = slots[::-1]
+            cands[:len(slots)] = slots
         self._reloc_key, sub = jax.random.split(self._reloc_key)
         res = self.relocalizer(self.map, frame, jnp.asarray(cands), sub)
         if not bool(res.ok):
@@ -686,3 +692,30 @@ class System:
         self.flush()
         self.map = self.map._replace(
             **{f: jnp.asarray(v) for f, v in ckpt.items()})
+
+    def save_map(self, path):
+        """Persist the map arena + host counters to one ``.npz`` file.
+
+        Map save/load is famously absent in stock ORB-SLAM2 (SURVEY.md
+        §5.4); the arena design makes it a plain array dump.
+        """
+        ckpt = self.checkpoint()
+        ckpt["_host_kf_seq"] = np.int64(self.kf_seq)
+        ckpt["_host_last_kf_slot"] = np.int64(self.last_kf_slot)
+        np.savez_compressed(path, **ckpt)
+
+    def load_map(self, path):
+        """Load a map saved by :meth:`save_map` and resume against it.
+
+        Tracking restarts in the LOST state, so the next frame
+        relocalizes into the loaded map — the map-reuse flow (typically
+        combined with ``activate_localization_mode()``).
+        """
+        data = np.load(path)
+        self.restore({k: data[k] for k in data.files
+                      if not k.startswith("_host_")})
+        self.kf_seq = int(data["_host_kf_seq"])
+        self.last_kf_slot = int(data["_host_last_kf_slot"])
+        self.last_kf_frame = -10**9
+        self.track = init_track_state(self.cfg.orb.n_features)
+        self._state = LOST if self.kf_seq > 0 else NOT_INITIALIZED

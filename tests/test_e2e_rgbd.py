@@ -123,3 +123,28 @@ def test_system_reset():
     for i, (g, d, _) in enumerate(seq):
         s2.track_rgbd(g, d, i / 30.0)
     assert s2.kf_seq > 0 and s2.state == OK
+
+
+def test_map_save_load_relocalize(tmp_path, run_result):
+    """save_map/load_map round trip + map reuse: a fresh System loads
+    the map file, starts LOST, and relocalizes into it on the first
+    frame (the map-reuse flow stock ORB-SLAM2 lacks, SURVEY.md §5.4)."""
+    from active_orb_slam2_tpu.models.system import LOST
+    slam, _ = run_result
+    path = str(tmp_path / "map.npz")
+    slam.save_map(path)
+
+    slam2 = System(CFG)
+    slam2.load_map(path)
+    assert slam2.state == LOST
+    assert slam2.kf_seq == slam.kf_seq
+    assert int(np.asarray(slam2.map.pt_valid).sum()) == \
+        int(np.asarray(slam.map.pt_valid).sum())
+
+    slam2.activate_localization_mode()
+    for i, (g, d, _) in enumerate(make_sequence(
+            3, CAM, world=default_world(),
+            trajectory=orbit_trajectory(N_FRAMES, step_deg=2.0))):
+        slam2.track_rgbd(g, d, i / 30.0)
+    assert slam2.state == OK
+    assert int(slam2.track.n_inliers) > 50
