@@ -51,9 +51,17 @@ class TrackingConfig:
 
 @dataclasses.dataclass(frozen=True)
 class MapConfig:
-    """Fixed arena capacities (SURVEY.md §7.1 fixed-shape state)."""
-    max_keyframes: int = 256
-    max_points: int = 16384
+    """Fixed arena capacities (SURVEY.md §7.1 fixed-shape state).
+
+    Defaults are sized for full-length sequences: upstream KITTI 00
+    (4,541 frames) settles around ~1,300 keyframes and ~136k points
+    BEFORE culling; with KeyFrameCulling + MapPointCulling + slot
+    recycling the live set stays well under these caps (the reference
+    bounds its graph the same way, src/LocalMapping.cc ~L520 [U]).
+    Short demos/benches override downward for faster compiles.
+    """
+    max_keyframes: int = 512
+    max_points: int = 65536
     covis_min_weight: int = 15          # KeyFrame::UpdateConnections edge th
     covis_strong_weight: int = 100      # essential-graph strong edges
     local_ba_keyframes: int = 16        # local BA window (covis KFs)

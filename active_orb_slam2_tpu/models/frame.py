@@ -30,27 +30,42 @@ class FrameData(NamedTuple):
 
 
 def frame_from_features(feats: OrbFeatures, cam: CameraParams,
-                        depth_map: Optional[jnp.ndarray] = None
+                        depth_map: Optional[jnp.ndarray] = None,
+                        dist: tuple = (0.0, 0.0, 0.0, 0.0, 0.0)
                         ) -> FrameData:
     """Attach depth / virtual-right info to extracted features.
 
     ``depth_map`` is a metric-depth image [H, W] (already divided by
     DepthMapFactor); 0 marks missing depth, as in TUM RGB-D.
+
+    ``dist`` is the static radtan tuple (k1, k2, p1, p2, k3); when any
+    coefficient is nonzero, keypoints are undistorted like
+    ``Frame::UndistortKeyPoints`` (``src/Frame.cc`` ~L330-390 [U]) —
+    depth is sampled at the RAW detector coordinates (the depth image
+    shares the camera's distortion), while ``uv``/``ur`` are ideal
+    pinhole coordinates for all downstream geometry, matching the
+    reference's mvKeys/mvKeysUn split.
     """
     n = feats.uv.shape[0]
+    raw_uv = feats.uv
+    if any(float(v) != 0.0 for v in dist):
+        from active_orb_slam2_tpu.ops.undistort import undistort_points
+        uv = undistort_points(cam, dist, raw_uv)
+    else:
+        uv = raw_uv
     if depth_map is not None:
         h, w = depth_map.shape
-        xi = jnp.clip(jnp.round(feats.uv[:, 0]).astype(jnp.int32), 0, w - 1)
-        yi = jnp.clip(jnp.round(feats.uv[:, 1]).astype(jnp.int32), 0, h - 1)
+        xi = jnp.clip(jnp.round(raw_uv[:, 0]).astype(jnp.int32), 0, w - 1)
+        yi = jnp.clip(jnp.round(raw_uv[:, 1]).astype(jnp.int32), 0, h - 1)
         d = depth_map[yi, xi]
         has_d = (d > 0) & feats.valid
-        ur = jnp.where(has_d, feats.uv[:, 0] - cam.bf / jnp.maximum(d, 1e-6),
+        ur = jnp.where(has_d, uv[:, 0] - cam.bf / jnp.maximum(d, 1e-6),
                        -1.0)
         depth = jnp.where(has_d, d, 0.0)
     else:
         ur = jnp.full((n,), -1.0, jnp.float32)
         depth = jnp.zeros((n,), jnp.float32)
-    return FrameData(uv=feats.uv, level=feats.level, angle=feats.angle,
+    return FrameData(uv=uv, level=feats.level, angle=feats.angle,
                      response=feats.response, desc=feats.desc,
                      valid=feats.valid, ur=ur, depth=depth)
 
@@ -64,6 +79,7 @@ def build_frame_pipeline(cfg: SlamConfig):
     on-device inside the jitted program.
     """
     cam = cfg.camera
+    dist = cfg.distortion
     extract = build_extractor(cfg.orb, cam.height, cam.width)
 
     @jax.jit
@@ -72,17 +88,21 @@ def build_frame_pipeline(cfg: SlamConfig):
         depth = depth_map.astype(jnp.float32)
         if depth_map.dtype == jnp.uint16:
             depth = depth * jnp.float32(1e-3)      # mm -> m
-        frame = frame_from_features(extract(img), cam, depth)
+        frame = frame_from_features(extract(img), cam, depth, dist)
         n_depth = (frame.valid & (frame.depth > 0.1)).sum()
         return frame, n_depth.astype(jnp.int32)
 
     @jax.jit
     def make_rgbd_packed(packed):
-        """Single-transfer variant: [2, H, W] uint16, row 0 = gray
-        (0..255), row 1 = depth in millimetres."""
+        """Single-transfer variant: [3, H, W] uint8 — row 0 = gray,
+        rows 1/2 = lo/hi bytes of depth in millimetres (byte-packed to
+        minimize the H2D transfer, the per-frame bandwidth bottleneck
+        on a tunneled device)."""
         img = packed[0].astype(jnp.float32)
-        depth = packed[1].astype(jnp.float32) * jnp.float32(1e-3)
-        frame = frame_from_features(extract(img), cam, depth)
+        depth = (packed[1].astype(jnp.float32)
+                 + 256.0 * packed[2].astype(jnp.float32)) \
+            * jnp.float32(1e-3)
+        frame = frame_from_features(extract(img), cam, depth, dist)
         n_depth = (frame.valid & (frame.depth > 0.1)).sum()
         return frame, n_depth.astype(jnp.int32)
     make_rgbd.packed = make_rgbd_packed
@@ -90,7 +110,7 @@ def build_frame_pipeline(cfg: SlamConfig):
     @jax.jit
     def make_mono(image):
         img = image.astype(jnp.float32)
-        frame = frame_from_features(extract(img), cam, None)
+        frame = frame_from_features(extract(img), cam, None, dist)
         return frame, jnp.int32(0)
 
     return make_rgbd, make_mono

@@ -54,7 +54,6 @@ class MapState(NamedTuple):
     kf_depth: jnp.ndarray      # [K, F] measured depth (<=0 invalid)
     kf_point: jnp.ndarray      # [K, F] int32 feature->point (-1 none)
     kf_parent: jnp.ndarray     # [K] int32 spanning-tree parent (-1 root)
-    kf_bow: jnp.ndarray        # [K, W] float32 BoW tf-idf (W=vocab words; 0 cols until vocab built)
 
     @property
     def max_points(self):
@@ -69,8 +68,7 @@ class MapState(NamedTuple):
         return self.kf_uv.shape[1]
 
 
-def empty_map(map_cfg: MapConfig, orb_cfg: OrbConfig,
-              n_bow_words: int = 0) -> MapState:
+def empty_map(map_cfg: MapConfig, orb_cfg: OrbConfig) -> MapState:
     P, K, F = map_cfg.max_points, map_cfg.max_keyframes, orb_cfg.n_features
     return MapState(
         pt_xyz=jnp.zeros((P, 3), jnp.float32),
@@ -94,7 +92,6 @@ def empty_map(map_cfg: MapConfig, orb_cfg: OrbConfig,
         kf_depth=jnp.zeros((K, F), jnp.float32),
         kf_point=jnp.full((K, F), -1, jnp.int32),
         kf_parent=jnp.full((K,), -1, jnp.int32),
-        kf_bow=jnp.zeros((K, max(n_bow_words, 1)), jnp.float32),
     )
 
 

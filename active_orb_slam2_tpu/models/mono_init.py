@@ -30,6 +30,14 @@ def build_mono_matcher(cfg: SlamConfig, window: float = 100.0,
         within = (du * du + dv * dv) <= window * window
         d = jnp.where(within, d, 1e9)
         idx, dist = match_mutual(d, max_dist=50.0, ratio=ratio)
+        # HISTO_LENGTH rotation-consistency discipline — the reference
+        # applies ComputeThreeMaxima in SearchForInitialization
+        # (src/ORBmatcher.cc [U]; round-2 verdict item 6)
+        from active_orb_slam2_tpu.ops.matching import (
+            rotation_consistency_mask)
+        keep = rotation_consistency_mask(frame_ref.angle,
+                                         frame_cur.angle, idx)
+        idx = jnp.where(keep, idx, -1)
         return idx, (idx >= 0).sum()
 
     return match

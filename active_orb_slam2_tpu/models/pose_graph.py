@@ -119,6 +119,7 @@ def build_essential_edges(kf_sim3, kf_valid, kf_parent, covis_W,
     Returns a fixed-shape Sim3Edges.
     """
     K = kf_sim3.shape[0]
+    max_strong = min(max_strong, K * K)
 
     def rel(i, j):
         return sim3_compose(kf_sim3[j], sim3_inverse(kf_sim3[i]))

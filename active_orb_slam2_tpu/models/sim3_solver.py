@@ -92,3 +92,99 @@ def sim3_ransac(key, cam: CameraParams, xyz_a, xyz_b, uv_a, uv_b,
     sim3 = jnp.concatenate([q_f, t_f, s_f[None]])
     return Sim3Result(sim3_ab=sim3, inliers=inl_f, n_inliers=n,
                       ok=n >= min_inliers)
+
+
+def optimize_sim3(cam: CameraParams, s_ab0, xyz_a, xyz_b, uv_a, uv_b,
+                  sigma2_a, sigma2_b, valid, iters1: int = 5,
+                  iters2: int = 10, fix_scale: bool = False,
+                  chi2_th: float = 10.0, huber: float = 10.0 ** 0.5,
+                  lam0: float = 1e-4):
+    """``Optimizer::OptimizeSim3`` (``src/Optimizer.cc`` ~L910-1060 [U]):
+    Levenberg-Marquardt over the RELATIVE Sim3 with BIDIRECTIONAL
+    projection residuals, Huber robustification, and a mid-run inlier
+    pruning pass — replacing the round-2 weighted-Horn refit, which
+    minimized 3D point distance rather than reprojection error.
+
+    Args mirror :func:`sim3_ransac` (camera-frame matched points +
+    observed pixels per side).  ``s_ab0`` [8] is the initial estimate
+    (Horn RANSAC winner — Horn stays the initializer, per the
+    reference's Sim3Solver -> OptimizeSim3 ladder).
+
+    Returns (s_ab [8], inliers [M] bool, n_inliers int32).
+    """
+    from active_orb_slam2_tpu.geometry.se3 import sim3_exp, sim3_compose
+
+    def residuals(delta, w_mask):
+        """Stacked bidirectional pixel residuals [M, 4], chi2 [M, 2]."""
+        S = sim3_compose(sim3_exp(delta), s_ab0)
+        pa = sim3_apply(S, xyz_b)                  # b -> a camera frame
+        ra = (_project(cam, pa) - uv_a) / jnp.sqrt(sigma2_a)[:, None]
+        Si = sim3_inverse(S)
+        pb = sim3_apply(Si, xyz_a)                 # a -> b camera frame
+        rb = (_project(cam, pb) - uv_b) / jnp.sqrt(sigma2_b)[:, None]
+        r = jnp.concatenate([ra, rb], axis=-1)     # [M, 4]
+        chi2 = jnp.stack([jnp.sum(ra * ra, -1), jnp.sum(rb * rb, -1)],
+                         axis=-1)
+        return jnp.where(w_mask[:, None], r, 0.0), chi2
+
+    zero = jnp.zeros(7)
+
+    def lm_phase(d_init, mask, n_iters):
+        def body(carry, _):
+            acc_delta, lam = carry
+
+            def res_of(d):
+                r, _ = residuals(d, mask)
+                return r
+
+            r = res_of(acc_delta)
+            J = jax.jacfwd(res_of)(acc_delta)      # [M, 4, 7]
+            # Huber IRLS weights on the per-edge norm (delta = sqrt(10),
+            # applied per direction as the reference's robust kernel)
+            e2 = jnp.sum(r * r, axis=-1)           # [M]
+            e = jnp.sqrt(jnp.maximum(e2, 1e-12))
+            w_h = jnp.where(e <= huber, 1.0, huber / e)
+            w_h = jnp.where(mask, w_h, 0.0)
+            H = jnp.einsum('mri,m,mrj->ij', J, w_h, J)
+            g = -jnp.einsum('mri,m,mr->i', J, w_h, r)
+            if fix_scale:
+                # clamp the scale dof (reference VertexSim3Expmap
+                # _fix_scale): identity row/col, zero gradient
+                H = H.at[6, :].set(0.).at[:, 6].set(0.).at[6, 6].set(1.)
+                g = g.at[6].set(0.)
+            Hd = H + lam * jnp.diag(jnp.diag(H)) + 1e-9 * jnp.eye(7)
+            step = jnp.linalg.solve(Hd, g)
+            cand = acc_delta + step
+
+            def cost_of(d):
+                rr, _ = residuals(d, mask)
+                ee2 = jnp.sum(rr * rr, -1)
+                ee = jnp.sqrt(jnp.maximum(ee2, 1e-12))
+                # Huber cost
+                c = jnp.where(ee <= huber, 0.5 * ee2,
+                              huber * (ee - 0.5 * huber))
+                return jnp.sum(jnp.where(mask, c, 0.0))
+
+            better = cost_of(cand) <= cost_of(acc_delta)
+            acc_delta = jnp.where(better, cand, acc_delta)
+            lam = jnp.clip(jnp.where(better, lam * 0.5, lam * 10.0),
+                           1e-9, 1e6)
+            return (acc_delta, lam), None
+
+        (d, _), _ = jax.lax.scan(body, (d_init, jnp.float32(lam0)), None,
+                                 length=n_iters)
+        return d
+
+    # phase 1: all tentative correspondences
+    d1 = lm_phase(zero, valid, iters1)
+    _, chi2 = residuals(d1, valid)
+    inl = valid & (chi2[:, 0] < chi2_th) & (chi2[:, 1] < chi2_th)
+    # phase 2: continue from d1 with bad edges removed (reference:
+    # remove chi2>10 edges, then 10 more iterations)
+    d2 = lm_phase(d1, inl, iters2)
+    _, chi2f = residuals(d2, inl)
+    inl_f = inl & (chi2f[:, 0] < chi2_th) & (chi2f[:, 1] < chi2_th)
+    s_out = sim3_compose(sim3_exp(d2), s_ab0)
+    if fix_scale:
+        s_out = s_out.at[7].set(s_ab0[7])
+    return s_out, inl_f, inl_f.sum().astype(jnp.int32)

@@ -11,15 +11,17 @@ becomes deterministic bounded BA slices at keyframe rate (SURVEY.md
 
 Asynchrony model (the TPU-native analog of the reference's thread
 pipeline, SURVEY.md §2.5): the device link is treated as a deep queue.
-Each frame is ONE fused dispatch (ORB extraction + tracking) that never
-blocks the host; per-frame scalars (inlier counts, pose, keyframe-
-decision inputs) are retired in small batches with a single stacked
-device->host pull.  Host-side decisions (keyframe insertion, lost
-detection) therefore run a bounded number of frames behind the device —
-the same bounded staleness the reference's mapping/loop threads have
-behind its tracking thread.  ``flush()`` drains the queue; reading
-``System.state`` flushes implicitly so callers observe sequential
-semantics.
+Each frame is ONE fused dispatch (ORB extraction + tracking +
+NeedNewKeyFrame + CreateNewKeyFrame — the keyframe decision and
+insertion run ON DEVICE with zero staleness) that never blocks the
+host; per-frame scalars (inlier counts, pose, inserted-KF slot,
+reference-KF pose) are retired in small batches with a single stacked
+device->host pull.  The host state machine (LOST detection, mapping /
+loop-closing stages, trajectory records) therefore runs a bounded
+number of frames behind the device — the same bounded staleness the
+reference's mapping/loop threads have behind its tracking thread.
+``flush()`` drains the queue; reading ``System.state`` flushes
+implicitly so callers observe sequential semantics.
 
 API surface mirrors the reference: ``track_rgbd(im, depth, t) -> Tcw``,
 ``save_trajectory_tum``, ``save_keyframe_trajectory_tum``,
@@ -34,6 +36,13 @@ import jax.numpy as jnp
 
 from active_orb_slam2_tpu.config import SlamConfig
 from active_orb_slam2_tpu.geometry.se3 import se3_to_mat44
+
+# ONE jitted dispatch for the per-frame pose->Tcw-matrix return value.
+# Unjitted, this was ~10 eager ops PER FRAME, each paying the tunneled
+# device's dispatch latency — measured ~46 ms/frame of host time in the
+# round-3 profile (scripts/profile_r3b.py), dwarfing the 5 ms device
+# step.  The result stays a lazy device array; callers np.asarray it.
+_to_mat44 = jax.jit(se3_to_mat44)
 from active_orb_slam2_tpu.io.trajectory import (
     resolve_frame_poses, save_tum, save_kitti)
 from active_orb_slam2_tpu.models.frame import build_frame_pipeline
@@ -47,10 +56,13 @@ OK = 1
 LOST = 2
 
 
-def _stats_ready(stats) -> bool:
-    """Non-blocking: has this frame's stats array landed on the host?"""
+def _stats_ready(entry) -> bool:
+    """Non-blocking: has this frame's stats batch landed on the host?"""
+    b = entry.get("batch")
+    if b is None:
+        return False                     # not yet grouped into a batch
     try:
-        return stats.is_ready()
+        return b["arr"].is_ready()
     except AttributeError:
         return True
 
@@ -138,9 +150,11 @@ class System:
         self.retire_batch = max(int(retire_batch), 1)
         self._pending = []               # in-flight frame records
         self._fused = {}                 # per-sensor fused jit steps
+        self._stack_fns = {}             # per-size jitted stats stackers
 
         self.frame_id = 0
         self.kf_seq = 0                  # monotone keyframe counter
+        self.n_live_kf = 0               # live (valid) keyframe count
         self.last_kf_slot = -1
         self.last_kf_frame = -10**9
         self.last_kf_inliers = 0
@@ -162,6 +176,7 @@ class System:
         self._init_key = None
         self.frame_id = 0
         self.kf_seq = 0
+        self.n_live_kf = 0
         self.last_kf_slot = -1
         self.last_kf_frame = -10**9
         self.last_kf_inliers = 0
@@ -170,9 +185,7 @@ class System:
         self.metrics = []
         self._pending = []
         if self.loop_closer is not None:
-            self.loop_closer.prev_groups = []
-            self.loop_closer.loop_edges = []
-            self.loop_closer.last_loop_kf_seq = -10
+            self.loop_closer.reset_state()
         self.n_loops_closed = 0
 
     @property
@@ -188,6 +201,7 @@ class System:
 
     def flush(self):
         """Retire every in-flight frame (drains the device queue)."""
+        self._seal_stats_batch()
         while self._pending:
             self._retire(len(self._pending))
 
@@ -201,58 +215,93 @@ class System:
         if kind == "rgbd":
             make = self.make_rgbd.packed
 
-            def fused(packed, m, st):
+            def fused(packed, m, st, allow_kf):
                 frame, _ = make(packed)
-                st2, stats, m2 = track_step(m, frame, st)
+                st2, stats, m2 = track_step(m, frame, st, allow_kf)
                 return frame, st2, stats, m2
         elif kind == "mono":
             make_mono = self.make_mono
 
-            def fused(image, m, st):
+            def fused(image, m, st, allow_kf):
                 frame, _ = make_mono(image)
-                st2, stats, m2 = track_step(m, frame, st)
+                st2, stats, m2 = track_step(m, frame, st, allow_kf)
                 return frame, st2, stats, m2
         else:                            # stereo
             make_stereo = self._get_make_stereo()
 
-            def fused(left, right, m, st):
+            def fused(left, right, m, st, allow_kf):
                 frame, _ = make_stereo(left, right)
-                st2, stats, m2 = track_step(m, frame, st)
+                st2, stats, m2 = track_step(m, frame, st, allow_kf)
                 return frame, st2, stats, m2
         self._fused[kind] = jax.jit(fused)
         return self._fused[kind]
 
-    def _stack_stats(self, stats_list):
-        """Pull a retirement batch to host.  Each entry's D2H copy was
-        started asynchronously at dispatch time (``copy_to_host_async``),
-        so with a deep enough pipeline these np.asarray calls read
-        host-cached data instead of paying a device round trip.  If a
-        copy hasn't landed yet, spin on is_ready instead of blocking
-        (a blocking pull costs a ~25-40 ms sync RPC on the tunnel)."""
+    def _seal_stats_batch(self):
+        """Stack the open group of per-frame stats into ONE device
+        array and start ONE async D2H copy for the whole group.
+
+        Per-frame copy_to_host_async calls each paid a tunnel RPC
+        (~9 ms/frame measured, scripts/profile_r3b.py); batching them
+        at retire_batch granularity amortizes that to one pull per
+        batch — the same batched-retirement idea as round 1, moved from
+        the host side to the device side so the wire sees one transfer.
+        """
+        group = [e for e in self._pending if e.get("batch") is None]
+        if not group:
+            return
+        n = len(group)
+        fn = self._stack_fns.get(n)
+        if fn is None:
+            fn = jax.jit(lambda *xs: jnp.stack(xs))
+            self._stack_fns[n] = fn
+        arr = fn(*[e["stats"] for e in group])
+        try:
+            arr.copy_to_host_async()
+        except (AttributeError, NotImplementedError):
+            pass
+        batch = {"arr": arr}
+        for i, e in enumerate(group):
+            e["batch"] = batch
+            e["slot"] = i
+
+    def _fetch_stats(self, entries):
+        """Host numpy stats rows for retiring entries (batches were
+        sealed and copied asynchronously; spin, never block-pull)."""
         import time
-        for s in stats_list:
+        arrs = {id(e["batch"]): e["batch"]["arr"] for e in entries}
+        for a in arrs.values():
             try:
-                while not s.is_ready():
+                while not a.is_ready():
                     time.sleep(0.0002)
             except AttributeError:
-                break
-        return np.stack([np.asarray(s) for s in stats_list])
+                pass
+        host = {k: np.asarray(a) for k, a in arrs.items()}
+        return np.stack([host[id(e["batch"])][e["slot"]]
+                         for e in entries])
 
     def _retire(self, n):
         """Pop the n oldest in-flight frames and run the host-side state
         machine on their (batched) stats: metrics, LOST detection,
-        NeedNewKeyFrame + insertion, trajectory records."""
+        mapping/loop stages for device-inserted keyframes, trajectory
+        records.  Keyframe DECISION + INSERTION already happened on
+        device inside the fused step (zero staleness); the host mirrors
+        the counters and runs the keyframe-rate mapping stages — the
+        same boundedly-stale relationship the reference's mapping
+        thread has to its tracking thread."""
         import time
         batch = self._pending[:n]
+        if any(e.get("batch") is None for e in batch):
+            self._seal_stats_batch()
         del self._pending[:n]
-        stats = self._stack_stats([e["stats"] for e in batch])
+        stats = self._fetch_stats(batch)
         t_ret = time.perf_counter()
         for e in batch:
             e["t_retired"] = t_ret
         for e, s in zip(batch, stats):
             (n_mm, n_inliers, ok, close_tracked, close_unmatched,
-             _n_assoc) = (int(v) for v in s[:6])
-            pose_np = s[6:13].astype(np.float32)
+             _n_assoc, kf_slot, ref_slot) = (int(v) for v in s[:8])
+            pose_np = s[8:15].astype(np.float32)
+            ref_pose_np = s[15:22].astype(np.float32)
             self.metrics.append({
                 "frame": e["frame_id"], "ts": float(e["ts"]),
                 "n_motion_inliers": n_mm,
@@ -264,14 +313,17 @@ class System:
                 self._state = LOST
             else:
                 self._state = OK
-                if (not self.localization_only and self.use_mapping
-                        and self._need_new_keyframe(
-                            e["frame_id"], n_inliers, close_tracked,
-                            close_unmatched)):
-                    self._insert_keyframe(
-                        e["frame"], e["st"], e["ts"],
-                        e["frame_id"], n_inliers)
-            self._record_frame(e["ts"], pose_np)
+                if kf_slot >= 0:
+                    self._register_keyframe(kf_slot, e["ts"],
+                                            e["frame_id"], n_inliers)
+            self._record_frame(e["ts"], pose_np,
+                               ref=ref_slot if ref_slot >= 0 else None,
+                               ref_pose=ref_pose_np)
+        # arena nearly full: evict a redundant keyframe so the device's
+        # (live < max) gate reopens — culling otherwise only runs at
+        # keyframe rate and a full arena would deadlock
+        if self.n_live_kf >= self.cfg.map.max_keyframes:
+            self._cull_for_space()
 
     def _dispatch_track(self, kind, host_inputs, timestamp):
         """Enqueue one fused frame step; retire a batch if the pipeline
@@ -290,26 +342,28 @@ class System:
                 self.frame_id += 1
                 return self.track.pose
         import time
+        allow_kf = np.bool_(self.use_mapping
+                            and not self.localization_only)
         frame, st, stats, m = self._fused_step(kind)(
-            *host_inputs, self.map, self.track)
+            *host_inputs, self.map, self.track, allow_kf)
         self.map, self.track = m, st
-        try:
-            stats.copy_to_host_async()   # overlap D2H with the queue
-        except (AttributeError, NotImplementedError):
-            pass
         self._pending.append({
             "frame_id": self.frame_id, "ts": timestamp,
             "frame": frame, "st": st, "stats": stats,
             "t_enq": time.perf_counter()})
-        # Retire EAGERLY: pop every frame whose stats already landed on
-        # the host (non-blocking poll).  Staleness of the host state
-        # machine (keyframe insertion!) then tracks the true device
-        # latency — usually 1-2 frames — instead of a fixed deep-queue
-        # bound; the queue depth below only caps memory when the device
-        # falls far behind.
+        # group stats D2H at retire_batch granularity: one stacked
+        # device array + one async copy per batch (see _seal_stats_batch)
+        if sum(1 for e in self._pending
+               if e.get("batch") is None) >= self.retire_batch:
+            self._seal_stats_batch()
+        # Retire EAGERLY: pop every frame whose stats batch already
+        # landed on the host (non-blocking poll).  Staleness of the
+        # host state machine (keyframe insertion!) then tracks the true
+        # device latency instead of a fixed deep-queue bound; the queue
+        # depth below only caps memory when the device falls behind.
         n_ready = 0
         for e in self._pending[:-1]:
-            if not _stats_ready(e["stats"]):
+            if not _stats_ready(e):
                 break
             n_ready += 1
         if n_ready:
@@ -345,15 +399,20 @@ class System:
         d = np.asarray(depth)
         if d.dtype != np.uint16:
             d = np.clip(d * 1e3, 0, 65535).astype(np.uint16)
-        # one host->device transfer for the whole frame
-        packed = np.stack([g.astype(np.uint16), d])
+        # one host->device transfer for the whole frame, byte-packed:
+        # row 0 gray, rows 1/2 depth lo/hi bytes (the tunnel link is
+        # bandwidth-bound at ~80 MB/s — every byte counts)
+        packed = np.empty((3,) + g.shape, np.uint8)
+        packed[0] = g
+        packed[1] = (d & 0xFF).astype(np.uint8)
+        packed[2] = (d >> 8).astype(np.uint8)
         if self._state == NOT_INITIALIZED:
             frame, n_depth = self.make_rgbd.packed(packed)
             pose = self._initialize(frame, int(n_depth), timestamp)
             self.frame_id += 1
         else:
             pose = self._dispatch_track("rgbd", (packed,), timestamp)
-        return se3_to_mat44(jnp.asarray(pose))
+        return _to_mat44(jnp.asarray(pose))
 
     def _initialize(self, frame, n_depth, timestamp):
         """StereoInitialization (``src/Tracking.cc`` ~L510 [U]): first
@@ -372,64 +431,68 @@ class System:
         k = int(k)
         self.last_kf_slot = k
         self.kf_seq += 1
+        self.n_live_kf += 1
         self.last_kf_frame = self.frame_id
         n_obs, kf_pose_np = host_fetch(
             (self.map.kf_point[k] >= 0).sum(), self.map.kf_pose[k])
         self.last_kf_inliers = int(n_obs)
         self.kf_records.append((timestamp, k))
-        # seed track state with the KF associations
+        # seed track state with the KF associations (+ angles, for the
+        # motion-stage rotation-consistency filter) and the device-side
+        # keyframe-decision counters
         self.track = self.track._replace(
             assoc=self.map.kf_point[k],
-            ok=jnp.array(True))
+            angle=frame.angle,
+            ok=jnp.array(True),
+            frame_id=jnp.array(self.frame_id + 1, jnp.int32),
+            kf_seq=jnp.array(self.kf_seq, jnp.int32),
+            last_kf_slot=jnp.array(k, jnp.int32),
+            last_kf_inliers=jnp.array(self.last_kf_inliers, jnp.int32),
+            frames_since_kf=jnp.array(0, jnp.int32))
         self._state = OK
         self._last_kf_pose_np = kf_pose_np
         self._record_frame(timestamp, np.asarray(pose))
         return pose
 
-    def _need_new_keyframe(self, frame_id, n_inliers, close_tracked,
-                           close_unmatched) -> bool:
-        """``Tracking::NeedNewKeyFrame`` (~L1010 [U]), host-side scalars.
-
-        Rules kept: max-interval force; tracked-vs-reference ratio 0.9;
-        the RGB-D 'need close points' rule (tracked-close < 100 while
-        ≥ 70 close candidates are unmatched)."""
-        t = self.cfg.tracking
-        since = frame_id - self.last_kf_frame
-        if since < max(t.kf_min_interval, 1):
+    def _cull_for_space(self) -> bool:
+        """Evict one redundant keyframe to make room for a new one
+        (arena-full path).  Returns True if a slot was freed.  Uses the
+        same >= 90%-redundancy rule as the per-insert KeyFrameCulling,
+        anchored at the newest keyframe."""
+        if self.last_kf_slot < 0:
             return False
-        if self.kf_seq >= self.cfg.map.max_keyframes:
+        self.map, victim = self.kf_culling(self.map, self.last_kf_slot)
+        v = int(host_fetch(victim))
+        if v < 0:
             return False
-        if since >= t.kf_max_interval:
-            return True
-        weak = n_inliers < t.kf_ref_ratio * max(self.last_kf_inliers, 1)
-        need_close = close_tracked < 100 and close_unmatched > 70
-        return (weak or need_close) and n_inliers > 15
+        self._on_keyframe_culled(v)
+        return True
 
-    def _insert_keyframe(self, frame, st, timestamp, frame_id, n_inliers):
-        """Insert the retired frame as a keyframe and run the mapping
-        stages.  All dispatches are async — the device queue absorbs
-        them exactly like the reference's background mapping thread.
-        The few scalars the host needs come back through host_fetch
-        (async copy + is_ready spin), never a blocking sync RPC."""
-        self.map, k, ok = self.create_kf(
-            self.map, frame, st.pose, st.assoc,
-            frame_id, self.kf_seq, self.last_kf_slot)
-        k, ok = host_fetch(k, ok)
-        if not bool(ok):
-            return
-        k = int(k)
+    def _register_keyframe(self, k, timestamp, frame_id, n_inliers):
+        """Mirror a DEVICE-inserted keyframe (the fused track step ran
+        NeedNewKeyFrame + CreateNewKeyFrame on device, zero staleness)
+        and run the keyframe-rate mapping stages.  All dispatches are
+        async — the device queue absorbs them exactly like the
+        reference's background mapping thread."""
         self.kf_seq += 1
+        self.n_live_kf += 1
         self.last_kf_slot = k
         self.last_kf_frame = frame_id
         self.last_kf_inliers = n_inliers
         self.kf_records.append((timestamp, k))
         victim = None
         if self.use_mapping and self.triangulate_new_points:
-            # CreateNewMapPoints + SearchInNeighbors (reference mapping
-            # thread order, SURVEY.md §3.3)
+            # CreateNewMapPoints (epipolar triangulation) — monocular
+            # map growth (reference mapping thread, SURVEY.md §3.3)
             self.map = self.create_points(self.map, k, self.kf_seq)
-            self.map = self.fuse_neighbors(self.map, k)
         if self.use_mapping:
+            # SearchInNeighbors runs for EVERY sensor in the reference
+            # (LocalMapping::Run is sensor-agnostic): without the fuse,
+            # depth-synthesized duplicates never merge, points plateau
+            # at 1-2 observers, and KeyFrameCulling's 90% redundancy
+            # rule can never fire — which deadlocked slot recycling on
+            # long sequences
+            self.map = self.fuse_neighbors(self.map, k)
             self.map = self.mapping_step(self.map, k, self.kf_seq)
             self.map, victim = self.kf_culling(self.map, k)
         if self.loop_closer is not None:
@@ -447,14 +510,8 @@ class System:
                 self.track = self.track._replace(
                     pose=self.map.kf_pose[k],
                     vel_ok=jnp.array(False))
-        # host cache of the reference-KF pose for per-frame Tcr records;
-        # fetch the victim in the same spin (one wait for both)
         if victim is not None:
-            vnp, self._last_kf_pose_np = host_fetch(
-                victim, self.map.kf_pose[k])
-            self._on_keyframe_culled(int(vnp))
-        else:
-            self._last_kf_pose_np = host_fetch(self.map.kf_pose[k])
+            self._on_keyframe_culled(int(host_fetch(victim)))
 
     def _on_keyframe_culled(self, victim: int):
         """Culled slots are recycled by later keyframes, so repoint any
@@ -466,6 +523,7 @@ class System:
         the parent through later BA / loop corrections."""
         if victim < 0:
             return
+        self.n_live_kf = max(self.n_live_kf - 1, 0)
         from active_orb_slam2_tpu.utils import np_se3
         parent_a, vpose_a = host_fetch(
             self.map.kf_parent[victim], self.map.kf_pose[victim])
@@ -480,19 +538,24 @@ class System:
             for (t, ref, tcr) in self.rel_records]
         self.kf_records = [r for r in self.kf_records if r[1] != victim]
 
-    def _record_frame(self, timestamp, pose_np):
-        """Store Tcr relative to the reference KF (host-side numpy; the
-        cached ref pose may lag device-side BA updates by millimetres —
-        the same tolerance the reference's mutex interleaving has)."""
+    def _record_frame(self, timestamp, pose_np, ref=None, ref_pose=None):
+        """Store Tcr relative to the reference KF.
+
+        The retired device stats carry (ref slot, ref pose) per frame —
+        the exact reference-KF pose the device used at that frame, so
+        no host-side pose cache can go stale; host-only paths (init,
+        reloc record) fall back to the cached last-KF pose."""
         from active_orb_slam2_tpu.utils import np_se3
-        ref = max(self.last_kf_slot, 0)
-        ref_pose = getattr(self, "_last_kf_pose_np", None)
+        if ref is None:
+            ref = max(self.last_kf_slot, 0)
+        if ref_pose is None:
+            ref_pose = getattr(self, "_last_kf_pose_np", None)
         if ref_pose is None:
             ref_pose = np.array([1, 0, 0, 0, 0, 0, 0], np.float32)
         tcr = np_se3.se3_compose(np.asarray(pose_np, np.float64),
                                  np_se3.se3_inverse(
                                      np.asarray(ref_pose, np.float64)))
-        self.rel_records.append((timestamp, ref, tcr))
+        self.rel_records.append((timestamp, int(ref), tcr))
 
     # -------------------------------------------------------------- stereo
 
@@ -518,7 +581,7 @@ class System:
             self.frame_id += 1
         else:
             pose = self._dispatch_track("stereo", (l, r), timestamp)
-        return se3_to_mat44(jnp.asarray(pose))
+        return _to_mat44(jnp.asarray(pose))
 
     # ------------------------------------------------------------ monocular
 
@@ -533,7 +596,7 @@ class System:
             self.frame_id += 1
         else:
             pose = self._dispatch_track("mono", (g,), timestamp)
-        return se3_to_mat44(jnp.asarray(pose))
+        return _to_mat44(jnp.asarray(pose))
 
     def _initialize_mono(self, frame, timestamp):
         """MonocularInitialization (~L570 [U]): H/F race vs a reference
@@ -578,14 +641,20 @@ class System:
             self._record_frame(timestamp, np.asarray(pose))
             return pose
         self.kf_seq = 2
+        self.n_live_kf = 2
         self.last_kf_slot = 1
         self.last_kf_frame = self.frame_id
         self.last_kf_inliers = int(n_pts)
         self.kf_records.append((timestamp - 1 / 30.0, 0))
         self.kf_records.append((timestamp, 1))
         self.track = self.track._replace(
-            pose=pose2, assoc=kp1, ok=jnp.array(True),
-            vel_ok=jnp.array(False))
+            pose=pose2, assoc=kp1, angle=frame.angle,
+            ok=jnp.array(True), vel_ok=jnp.array(False),
+            frame_id=jnp.array(self.frame_id + 1, jnp.int32),
+            kf_seq=jnp.array(self.kf_seq, jnp.int32),
+            last_kf_slot=jnp.array(1, jnp.int32),
+            last_kf_inliers=jnp.array(self.last_kf_inliers, jnp.int32),
+            frames_since_kf=jnp.array(0, jnp.int32))
         self._state = OK
         self._last_kf_pose_np = host_fetch(self.map.kf_pose[1])
         self._record_frame(timestamp, np.asarray(pose2))
@@ -626,8 +695,13 @@ class System:
         if not bool(res.ok):
             return False
         self.track = self.track._replace(
-            pose=res.pose, assoc=res.assoc,
-            vel_ok=jnp.array(False), ok=jnp.array(True))
+            pose=res.pose, assoc=res.assoc, angle=frame.angle,
+            vel_ok=jnp.array(False), ok=jnp.array(True),
+            frame_id=jnp.array(self.frame_id, jnp.int32),
+            kf_seq=jnp.array(self.kf_seq, jnp.int32),
+            last_kf_slot=jnp.array(max(self.last_kf_slot, 0), jnp.int32),
+            last_kf_inliers=jnp.array(
+                max(self.last_kf_inliers, 1), jnp.int32))
         self._state = OK
         return True
 
@@ -709,13 +783,40 @@ class System:
 
         Tracking restarts in the LOST state, so the next frame
         relocalizes into the loaded map — the map-reuse flow (typically
-        combined with ``activate_localization_mode()``).
+        combined with ``activate_localization_mode()``).  All host
+        bookkeeping from any previous session (trajectory records,
+        metrics, loop-closer state) refers to the old map's slots and is
+        dropped; the reference-KF pose cache is rebuilt from the loaded
+        arena so per-frame Tcr records compose against the right pose.
         """
-        data = np.load(path)
-        self.restore({k: data[k] for k in data.files
-                      if not k.startswith("_host_")})
-        self.kf_seq = int(data["_host_kf_seq"])
-        self.last_kf_slot = int(data["_host_last_kf_slot"])
+        self.flush()
+        with np.load(path) as data:
+            self.restore({k: data[k] for k in data.files
+                          if not k.startswith("_host_")})
+            self.kf_seq = int(data["_host_kf_seq"])
+            self.last_kf_slot = int(data["_host_last_kf_slot"])
         self.last_kf_frame = -10**9
         self.track = init_track_state(self.cfg.orb.n_features)
+        # clear per-session state exactly like reset() — stale records
+        # would replay old-map slots against the new arena
+        self.rel_records = []
+        self.kf_records = []
+        self.metrics = []
+        self._pending = []
+        self._ref_frame = None
+        if self.loop_closer is not None:
+            self.loop_closer.reset_state()
+        self.n_loops_closed = 0
+        kf_valid = np.asarray(self.map.kf_valid)
+        self.n_live_kf = int(kf_valid.sum())
+        if self.last_kf_slot >= 0 and kf_valid[self.last_kf_slot]:
+            self._last_kf_pose_np = np.asarray(
+                self.map.kf_pose[self.last_kf_slot])
+        else:
+            self._last_kf_pose_np = None
+        # advance frame_id past every loaded keyframe so frame-id
+        # recency ordering (reloc fallback) stays monotone
+        if kf_valid.any():
+            fids = np.asarray(self.map.kf_frame_id)[kf_valid]
+            self.frame_id = int(fids.max()) + 1
         self._state = LOST if self.kf_seq > 0 else NOT_INITIALIZED

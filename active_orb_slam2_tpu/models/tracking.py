@@ -41,13 +41,30 @@ from active_orb_slam2_tpu.ops.matching import (
 
 
 class TrackState(NamedTuple):
-    """Carried between frames (the reference's Tracking members)."""
+    """Carried between frames (the reference's Tracking members).
+
+    The keyframe-decision state (frames-since-KF counter, reference-KF
+    inlier count, last KF slot, monotone KF counter, frame id) lives ON
+    DEVICE so ``NeedNewKeyFrame`` + ``CreateNewKeyFrame`` execute
+    inside the fused per-frame program with ZERO staleness — the
+    round-3 profiling showed host-side keyframe decisions lag the
+    device by the retirement-batch depth, which starves the map on
+    fast motion.  The host state machine mirrors these counters from
+    the retired stats (boundedly stale, like the reference's mapping
+    thread view).
+    """
     pose: jnp.ndarray        # [7] Tcw of last tracked frame
     velocity: jnp.ndarray    # [7] Tcw_k (Tcw_{k-1})^-1 constant-velocity model
     vel_ok: jnp.ndarray      # bool — velocity meaningful
     assoc: jnp.ndarray       # [F] int32 feature->point of last frame
+    angle: jnp.ndarray       # [F] last frame's keypoint orientations
     n_inliers: jnp.ndarray   # int32
     ok: jnp.ndarray          # bool — tracking good
+    frame_id: jnp.ndarray    # int32 — id of the NEXT frame to track
+    kf_seq: jnp.ndarray      # int32 — monotone keyframe counter
+    last_kf_slot: jnp.ndarray     # int32 — newest KF slot (-1 none)
+    last_kf_inliers: jnp.ndarray  # int32 — its inlier count at insert
+    frames_since_kf: jnp.ndarray  # int32
 
 
 def init_track_state(n_features: int) -> TrackState:
@@ -56,8 +73,14 @@ def init_track_state(n_features: int) -> TrackState:
         velocity=se3_identity(),
         vel_ok=jnp.array(False),
         assoc=jnp.full((n_features,), -1, jnp.int32),
+        angle=jnp.zeros((n_features,), jnp.float32),
         n_inliers=jnp.array(0, jnp.int32),
         ok=jnp.array(False),
+        frame_id=jnp.array(0, jnp.int32),
+        kf_seq=jnp.array(0, jnp.int32),
+        last_kf_slot=jnp.array(-1, jnp.int32),
+        last_kf_inliers=jnp.array(0, jnp.int32),
+        frames_since_kf=jnp.array(0, jnp.int32),
     )
 
 
@@ -67,11 +90,17 @@ def _scale_radius(level, base):
 
 def _match_against_points(cam, pose, m: MapState, cand_idx, cand_ok,
                           frame: FrameData, radius_base, ratio,
-                          max_dist, already):
+                          max_dist, already, query_angle=None):
     """Project candidate map points and associate to frame features.
 
     cand_idx [C] point slots (gathered, fixed C); cand_ok [C] bool.
     ``already`` [F] marks features that must not be re-matched.
+    ``query_angle`` [C] (optional): per-candidate reference keypoint
+    orientations — when given, the HISTO_LENGTH rotation-consistency
+    filter is applied exactly like the reference's motion-model
+    SearchByProjection(Frame&, Frame&) (src/ORBmatcher.cc [U]); the
+    local-map overload has no orientation check, matching the
+    reference, so the local stage passes None.
     Returns assoc_update [F] int32 (point slot or -1).
     """
     xyz = m.pt_xyz[cand_idx]
@@ -89,6 +118,11 @@ def _match_against_points(cam, pose, m: MapState, cand_idx, cand_ok,
         m.pt_desc[cand_idx], ok,
         frame.uv, frame.level, frame.desc, feat_free,
         max_dist=max_dist, ratio=ratio)
+    if query_angle is not None:
+        from active_orb_slam2_tpu.ops.matching import (
+            rotation_consistency_mask)
+        keep = rotation_consistency_mask(query_angle, frame.angle, idx)
+        idx = jnp.where(keep, idx, -1)
     # scatter: feature -> point slot
     assoc = jnp.full((frame.uv.shape[0],), -1, jnp.int32)
     src = jnp.where((idx >= 0) & ok, cand_idx, -1)
@@ -116,16 +150,24 @@ def _pose_opt_from_assoc(cam, pose0, m: MapState, frame: FrameData, assoc):
 
 
 def build_track_step(cfg: SlamConfig, local_cand: int = 2048):
-    """Compile the per-frame tracking step.
+    """Compile the per-frame tracking step WITH the fused keyframe
+    decision + insertion.
 
-    Returns jitted fn: (m, frame, st) ->
-      (new_st, motion_inliers, local_inliers, visible_mask, found_mask)
+    Returns jitted fn: (m, frame, st, allow_kf) -> (new_st, stats, m')
+    where ``allow_kf`` (traced bool) gates NeedNewKeyFrame (host turns
+    it off in localization-only mode / mapping-off benches) and stats
+    packs the per-frame scalars including the inserted KF slot (-1 if
+    none) for the host state machine.
     """
     cam = cfg.camera
     tcfg = cfg.tracking
+    create_kf_fn = make_create_keyframe_fn(cfg)
+    kf_min = max(tcfg.kf_min_interval, 1)
+    max_kf = cfg.map.max_keyframes
 
     @jax.jit
-    def track_step(m: MapState, frame: FrameData, st: TrackState):
+    def track_step(m: MapState, frame: FrameData, st: TrackState,
+                   allow_kf=False):
         pred = jnp.where(st.vel_ok, se3_compose(st.velocity, st.pose),
                          st.pose)
 
@@ -135,7 +177,8 @@ def build_track_step(cfg: SlamConfig, local_cand: int = 2048):
         assoc1, _ = _match_against_points(
             cam, pred, m, prev_pts, prev_ok, frame,
             radius_base=15.0, ratio=tcfg.nn_ratio_motion,
-            max_dist=100.0, already=jnp.zeros_like(frame.valid))
+            max_dist=100.0, already=jnp.zeros_like(frame.valid),
+            query_angle=st.angle)
         res1 = _pose_opt_from_assoc(cam, pred, m, frame, assoc1)
         # TrackReferenceKeyFrame-style fallback (reference ~L730 [U]):
         # if the motion-model stage collapses, discard its pose and
@@ -196,10 +239,11 @@ def build_track_step(cfg: SlamConfig, local_cand: int = 2048):
 
         velocity = se3_compose(pose, se3_inverse(st.pose))
         ok = res2.n_inliers >= tcfg.min_inliers_local
-        new_st = TrackState(
+        new_st = st._replace(
             pose=pose, velocity=velocity,
             vel_ok=st.ok,
             assoc=assoc,
+            angle=frame.angle,
             n_inliers=res2.n_inliers,
             ok=ok,
         )
@@ -209,34 +253,76 @@ def build_track_step(cfg: SlamConfig, local_cand: int = 2048):
             pt_visible=m.pt_visible + visible_mask.astype(jnp.int32),
             pt_found=m.pt_found + found_mask.astype(jnp.int32))
 
-        # packed per-frame scalars + pose -> ONE device->host pull for
-        # everything the host needs (NeedNewKeyFrame inputs, state,
-        # trajectory record)
+        # ---- fused NeedNewKeyFrame + CreateNewKeyFrame ------------------
+        # (Tracking::NeedNewKeyFrame ~L1010 [U], evaluated ON DEVICE so
+        # insertion has zero staleness regardless of how deep the host
+        # pipelines retirement)
         close = frame.valid & (frame.depth > 0.1) \
             & (frame.depth < tcfg.th_depth)
+        close_tracked = (close & (assoc >= 0)).sum()
+        close_unmatched = (close & (assoc < 0)).sum()
+        since = st.frames_since_kf + 1
+        live = m.kf_valid.sum()
+        weak = res2.n_inliers < tcfg.kf_ref_ratio * jnp.maximum(
+            st.last_kf_inliers, 1)
+        need_close = (close_tracked < 100) & (close_unmatched > 70)
+        need = (ok & allow_kf
+                & (since >= kf_min)
+                & (live < max_kf)
+                & ((since >= tcfg.kf_max_interval)
+                   | ((weak | need_close) & (res2.n_inliers > 15))))
+
+        def insert(mm):
+            m2, k, okk = create_kf_fn(mm, frame, pose, assoc,
+                                      st.frame_id, st.kf_seq,
+                                      st.last_kf_slot)
+            return m2, jnp.where(okk, k, -1)
+
+        def no_insert(mm):
+            return mm, jnp.int32(-1)
+
+        m_out, kf_slot = jax.lax.cond(need, insert, no_insert, m_out)
+        inserted = kf_slot >= 0
+
+        new_st = new_st._replace(
+            frame_id=st.frame_id + 1,
+            kf_seq=st.kf_seq + inserted.astype(jnp.int32),
+            last_kf_slot=jnp.where(inserted, kf_slot, st.last_kf_slot),
+            last_kf_inliers=jnp.where(inserted, res2.n_inliers,
+                                      st.last_kf_inliers),
+            frames_since_kf=jnp.where(inserted, 0, since),
+        )
+
+        # packed per-frame scalars + pose + ref-KF pose -> ONE
+        # device->host pull for everything the host needs (metrics,
+        # LOST detection, mapping/loop triggers, trajectory record)
+        ref_slot = jnp.maximum(new_st.last_kf_slot, 0)
         stats = jnp.concatenate([jnp.stack([
             res1.n_inliers.astype(jnp.float32),
             res2.n_inliers.astype(jnp.float32),
             ok.astype(jnp.float32),
-            (close & (assoc >= 0)).sum().astype(jnp.float32),
-            (close & (assoc < 0)).sum().astype(jnp.float32),
+            close_tracked.astype(jnp.float32),
+            close_unmatched.astype(jnp.float32),
             (assoc >= 0).sum().astype(jnp.float32),
-        ]), pose])
+            kf_slot.astype(jnp.float32),
+            new_st.last_kf_slot.astype(jnp.float32),
+        ]), pose, m_out.kf_pose[ref_slot]])
         return new_st, stats, m_out
 
     return track_step
 
 
-def build_create_keyframe(cfg: SlamConfig, max_new_points: int = 512):
-    """Compile keyframe insertion (also the RGB-D/stereo initializer).
+def make_create_keyframe_fn(cfg: SlamConfig, max_new_points: int = 512):
+    """The pure (un-jitted) CreateNewKeyFrame body — used standalone by
+    :func:`build_create_keyframe` (host init paths) AND traced into the
+    fused per-frame step's lax.cond branch (device-side insertion).
 
-    jitted fn: (m, frame, pose, assoc, frame_id, kf_seq, parent) ->
+    (m, frame, pose, assoc, frame_id, kf_seq, parent) ->
       (m, kf_slot, ok)
     """
     cam = cfg.camera
     close_depth = cfg.tracking.th_depth
 
-    @jax.jit
     def create_keyframe(m: MapState, frame: FrameData, pose, assoc,
                         frame_id, kf_seq, parent):
         kf_slots, kf_ok = allocate_slots(m.kf_valid, 1)
@@ -320,6 +406,11 @@ def build_create_keyframe(cfg: SlamConfig, max_new_points: int = 512):
         return m, k, ok
 
     return create_keyframe
+
+
+def build_create_keyframe(cfg: SlamConfig, max_new_points: int = 512):
+    """Jitted keyframe insertion (also the RGB-D/stereo initializer)."""
+    return jax.jit(make_create_keyframe_fn(cfg, max_new_points))
 
 
 @jax.jit

@@ -29,8 +29,9 @@ def compute_stereo_matches(cam: CameraParams, feats_l, feats_r,
     feats_l/feats_r: OrbFeatures of the rectified pair; img_l/img_r:
     the (grayscale, float) images for the SAD refinement.
     """
-    max_disp = cam.bf / cam.fx * cam.fx  # = bf ; disparity <= bf/minZ
-    max_disp = cam.fx * 0.5              # generous: minZ = 2*baseline
+    # disparity ceiling: disp = bf / Z, reference uses minZ = baseline
+    # (Frame::ComputeStereoMatches maxD = mbf / minZ [U]) -> disp <= fx
+    max_disp = cam.fx
     uv_l, uv_r = feats_l.uv, feats_r.uv
 
     d = hamming_matrix(feats_l.desc, feats_r.desc,

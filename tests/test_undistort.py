@@ -1,0 +1,127 @@
+"""Keypoint undistortion tests (Frame::UndistortKeyPoints parity).
+
+Oracle: forward-distort the recovered undistorted coordinates with a
+pure-NumPy radtan model; they must land back on the raw pixels to
+< 0.05 px (round-2 verdict item 2).  Plus a distorted-synthetic e2e
+run whose ATE collapses when undistortion is enabled.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from active_orb_slam2_tpu.config import (
+    MapConfig, OrbConfig, SlamConfig, TrackingConfig)
+from active_orb_slam2_tpu.geometry import CameraParams
+from active_orb_slam2_tpu.ops.undistort import (
+    compute_image_bounds, distort_normalized, distort_warp_image,
+    undistort_points)
+
+CAM = CameraParams(fx=517.3, fy=516.5, cx=318.6, cy=255.3, bf=40.0,
+                   width=640, height=480)
+# TUM fr1-like radtan (k1 ~ 0.26 barrel is the driver's parity dataset)
+DIST = (0.2624, -0.9531, -0.0054, 0.0026, 1.1633)
+
+
+def _forward_distort_np(cam, dist, uv_und):
+    x = (uv_und[:, 0] - cam.cx) / cam.fx
+    y = (uv_und[:, 1] - cam.cy) / cam.fy
+    k1, k2, p1, p2, k3 = dist
+    r2 = x * x + y * y
+    radial = 1.0 + k1 * r2 + k2 * r2 ** 2 + k3 * r2 ** 3
+    x_d = x * radial + 2 * p1 * x * y + p2 * (r2 + 2 * x * x)
+    y_d = y * radial + p1 * (r2 + 2 * y * y) + 2 * p2 * x * y
+    return np.stack([x_d * cam.fx + cam.cx, y_d * cam.fy + cam.cy],
+                    axis=-1)
+
+
+def test_undistort_roundtrip():
+    rng = np.random.default_rng(0)
+    raw = np.stack([rng.uniform(10, 630, 500),
+                    rng.uniform(10, 470, 500)], axis=-1)
+    und = np.asarray(undistort_points(CAM, DIST, jnp.asarray(raw)))
+    back = _forward_distort_np(CAM, DIST, und)
+    err = np.abs(back - raw).max()
+    assert err < 0.05, err
+
+
+def test_undistort_identity_when_zero():
+    rng = np.random.default_rng(1)
+    raw = np.stack([rng.uniform(0, 640, 64),
+                    rng.uniform(0, 480, 64)], axis=-1)
+    und = np.asarray(undistort_points(
+        CAM, (0.0, 0.0, 0.0, 0.0, 0.0), jnp.asarray(raw)))
+    np.testing.assert_allclose(und, raw, atol=1e-4)
+
+
+def test_distort_normalized_matches_oracle():
+    rng = np.random.default_rng(2)
+    x = rng.uniform(-0.5, 0.5, 100)
+    y = rng.uniform(-0.4, 0.4, 100)
+    xd, yd = distort_normalized(DIST, x, y)
+    uv = np.stack([x * CAM.fx + CAM.cx, y * CAM.fy + CAM.cy], axis=-1)
+    ref = _forward_distort_np(CAM, DIST, uv)
+    np.testing.assert_allclose(xd * CAM.fx + CAM.cx, ref[:, 0], atol=1e-9)
+    np.testing.assert_allclose(yd * CAM.fy + CAM.cy, ref[:, 1], atol=1e-9)
+
+
+def test_image_bounds_barrel():
+    """Barrel distortion (k1 > 0 dominant near corners after the k2/k3
+    terms... just assert bounds are finite, ordered, and differ from
+    the trivial box when distortion is on."""
+    b = compute_image_bounds(CAM, DIST)
+    assert b[0] < b[1] and b[2] < b[3]
+    b0 = compute_image_bounds(CAM, (0, 0, 0, 0, 0))
+    assert b0 == (0.0, 640.0, 0.0, 480.0)
+    assert any(abs(x - y) > 0.5 for x, y in zip(b, b0))
+
+
+def test_e2e_distorted_rgbd_ate():
+    """Track a short distorted-image RGB-D sequence with and without
+    undistortion enabled; enabling it must cut ATE dramatically."""
+    from active_orb_slam2_tpu.geometry.horn import umeyama_alignment
+    from active_orb_slam2_tpu.io.synthetic import (
+        default_world, make_sequence, orbit_trajectory)
+    from active_orb_slam2_tpu.io.trajectory import camera_centers
+    from active_orb_slam2_tpu.models.system import System
+
+    cam = CameraParams(fx=260.0, fy=260.0, cx=159.5, cy=119.5, bf=20.8,
+                       width=320, height=240)
+    dist = (0.25, -0.3, 0.0, 0.0, 0.0)
+    n = 40
+    traj = orbit_trajectory(n, step_deg=1.2)
+    frames = list(make_sequence(n, cam, world=default_world(),
+                                trajectory=traj))
+    # warp gray AND depth into the distorted camera (bilinear — fine
+    # for smooth synthetic depth)
+    warped, gt_centers = [], []
+    for g, d, Twc in frames:
+        gw = distort_warp_image(cam, dist, g)
+        dw = distort_warp_image(cam, dist, d)
+        warped.append((np.clip(gw, 0, 255).astype(np.uint8),
+                       np.clip(dw * 1e3, 0, 65535).astype(np.uint16)))
+        gt_centers.append(Twc[:3, 3])
+    gt = np.stack(gt_centers)
+
+    def run(distortion):
+        cfg = SlamConfig(
+            camera=cam,
+            orb=OrbConfig(n_features=512, n_levels=4),
+            tracking=TrackingConfig(th_depth=12.0),
+            map=MapConfig(max_keyframes=32, max_points=8192,
+                          local_ba_keyframes=8, local_ba_points=2048),
+            distortion=distortion)
+        slam = System(cfg)
+        for i, (g, d) in enumerate(warped):
+            slam.track_rgbd(g, d, i / 30.0)
+        _, poses = slam.frame_trajectory()
+        est = camera_centers(poses)
+        *_, rmse = umeyama_alignment(jnp.asarray(est), jnp.asarray(gt),
+                                     fix_scale=True)
+        return float(rmse)
+
+    ate_off = run((0.0, 0.0, 0.0, 0.0, 0.0))
+    ate_on = run(dist)
+    # with ~0.25 barrel distortion unmodelled, geometry is badly bent;
+    # undistortion must recover near-clean accuracy
+    assert ate_on < 0.06, ate_on
+    assert ate_on < 0.5 * ate_off, (ate_on, ate_off)
