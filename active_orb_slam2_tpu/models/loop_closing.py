@@ -480,13 +480,6 @@ def _sim3_guided_refine(m: MapState, cur_kf, loop_kf, s_cm, cam,
     return s_out, n
 
 
-def _sim3_between(m, cur_kf, loop_kf, cfg, key, fix_scale):
-    xyz_a, xyz_b, uv_a, uv_b, s2a, s2b, ok = _sim3_match_data(
-        m, jnp.asarray(cur_kf), jnp.asarray(loop_kf))
-    return sim3_ransac(key, cfg.camera, xyz_a, xyz_b, uv_a, uv_b,
-                       s2a, s2b, ok, fix_scale=fix_scale)
-
-
 @jax.jit
 def _apply_sim3_correction(m: MapState, pre_sim3, corrected_scur,
                            cur_kf, group_mask):

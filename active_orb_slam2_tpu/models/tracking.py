@@ -322,6 +322,10 @@ def make_create_keyframe_fn(cfg: SlamConfig, max_new_points: int = 512):
     """
     cam = cfg.camera
     close_depth = cfg.tracking.th_depth
+    # a frame can contribute at most n_features new points; small
+    # configs (n_features < 512) would otherwise broadcast-mismatch in
+    # the rank gate below
+    max_new_points = min(max_new_points, cfg.orb.n_features)
 
     def create_keyframe(m: MapState, frame: FrameData, pose, assoc,
                         frame_id, kf_seq, parent):

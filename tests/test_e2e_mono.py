@@ -62,4 +62,6 @@ def test_mono_ate_sim3(mono_run):
     _, _, _, s, rmse = umeyama_alignment(
         jnp.array(est[moved]), jnp.array(gt[moved]), fix_scale=False)
     ate = float(rmse)
-    assert ate < 0.08, f"mono ATE {ate:.4f} m"
+    # measured ~0.029 m at this config; 0.05 keeps noise headroom while
+    # still biting on real regressions (round-2 verdict Weak 7)
+    assert ate < 0.05, f"mono ATE {ate:.4f} m"
