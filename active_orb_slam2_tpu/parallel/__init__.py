@@ -11,5 +11,7 @@ from active_orb_slam2_tpu.parallel.dist_ba import (  # noqa: F401
     count_dropped_observations, global_ba, build_distributed_ba,
     inverse_permutation,
 )
+from active_orb_slam2_tpu.parallel.matcher import (  # noqa: F401
+    build_sharded_matcher)
 from active_orb_slam2_tpu.parallel.mesh import (  # noqa: F401
     initialize_distributed, make_host_chip_mesh, make_mesh)
