@@ -49,7 +49,8 @@ from active_orb_slam2_tpu.models.frame import build_frame_pipeline
 from active_orb_slam2_tpu.models.local_mapping import build_mapping_step
 from active_orb_slam2_tpu.models.map_state import empty_map
 from active_orb_slam2_tpu.models.tracking import (
-    build_create_keyframe, build_track_step, init_track_state)
+    STATS_POSE, STATS_REF_POSE, build_create_keyframe, build_track_step,
+    init_track_state)
 
 NOT_INITIALIZED = 0
 OK = 1
@@ -300,8 +301,8 @@ class System:
         for e, s in zip(batch, stats):
             (n_mm, n_inliers, ok, close_tracked, close_unmatched,
              _n_assoc, kf_slot, ref_slot) = (int(v) for v in s[:8])
-            pose_np = s[8:15].astype(np.float32)
-            ref_pose_np = s[15:22].astype(np.float32)
+            pose_np = s[STATS_POSE].astype(np.float32)
+            ref_pose_np = s[STATS_REF_POSE].astype(np.float32)
             self.metrics.append({
                 "frame": e["frame_id"], "ts": float(e["ts"]),
                 "n_motion_inliers": n_mm,

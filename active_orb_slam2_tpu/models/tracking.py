@@ -40,6 +40,16 @@ from active_orb_slam2_tpu.ops.matching import (
     search_by_projection, rotation_consistency_mask)
 
 
+# retired-stats vector layout (track_step's packed per-frame scalars):
+# [0] motion-stage inliers  [1] local-stage inliers  [2] tracking ok
+# [3] close tracked         [4] close unmatched      [5] n associations
+# [6] inserted KF slot (-1) [7] reference-KF slot
+# [8:15] frame pose Tcw     [15:22] reference-KF pose Tcw
+STATS_POSE = slice(8, 15)
+STATS_REF_POSE = slice(15, 22)
+STATS_LEN = 22
+
+
 class TrackState(NamedTuple):
     """Carried between frames (the reference's Tracking members).
 

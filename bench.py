@@ -15,8 +15,9 @@ bench therefore measures the same per-frame tracking path (frame build
 on a map built by the RGB-D initializer.  Mapping-step cost is bounded
 and amortized at keyframe rate in deployment (see ARCHITECTURE.md).
 
-Compilation is kept to the three tracking-path programs so cold-start
-stays inside the driver's budget even over slow remote-compile links.
+Compilation covers the tracking-path programs plus one mapping_step
+(for the ms/KF metric); the persistent cache at /tmp/aos2_jax_cache
+keeps repeat runs fast over slow remote-compile links.
 """
 
 import json
