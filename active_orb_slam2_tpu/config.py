@@ -140,6 +140,12 @@ def load_settings(path: str, sensor: str = "rgbd",
         depth_map_factor=float(d.get("DepthMapFactor", 5000.0)))
     dist = tuple(float(d.get(f"Camera.{k}", 0.0))
                  for k in ("k1", "k2", "p1", "p2", "k3"))
+    if any(v != 0.0 for v in dist):
+        # undistorted image bounds for every projection gate
+        # (``Frame::ComputeImageBounds`` ~L330-390 [U])
+        from active_orb_slam2_tpu.ops.undistort import compute_image_bounds
+        x0, x1, y0, y1 = compute_image_bounds(cam, dist)
+        cam = cam._replace(min_x=x0, max_x=x1, min_y=y0, max_y=y1)
     return SlamConfig(camera=cam, orb=orb, tracking=tracking,
                       fps=float(d.get("Camera.fps", 30.0)),
                       sensor=sensor, distortion=dist)

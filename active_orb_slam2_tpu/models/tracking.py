@@ -75,6 +75,16 @@ class TrackState(NamedTuple):
     last_kf_slot: jnp.ndarray     # int32 — newest KF slot (-1 none)
     last_kf_inliers: jnp.ndarray  # int32 — its inlier count at insert
     frames_since_kf: jnp.ndarray  # int32
+    # temporal points (``Tracking::UpdateLastFrame`` ~L780 [U]): the
+    # last frame's close depth features backprojected to world — in
+    # localization-only mode the motion stage matches these alongside
+    # the map points so tracking survives away from mapped regions
+    # (the reference's mlpTemporalPoints; round-3 verdict Missing 4).
+    # Index space = last frame's features, same as ``assoc``/``angle``.
+    tmp_xyz: jnp.ndarray      # [F, 3] world positions
+    tmp_desc: jnp.ndarray     # [F, 8] uint32 descriptors
+    tmp_max_dist: jnp.ndarray  # [F] scale-invariance far bound
+    tmp_ok: jnp.ndarray       # [F] bool — has usable close depth
 
 
 def init_track_state(n_features: int) -> TrackState:
@@ -91,6 +101,10 @@ def init_track_state(n_features: int) -> TrackState:
         last_kf_slot=jnp.array(-1, jnp.int32),
         last_kf_inliers=jnp.array(0, jnp.int32),
         frames_since_kf=jnp.array(0, jnp.int32),
+        tmp_xyz=jnp.zeros((n_features, 3), jnp.float32),
+        tmp_desc=jnp.zeros((n_features, 8), jnp.uint32),
+        tmp_max_dist=jnp.zeros((n_features,), jnp.float32),
+        tmp_ok=jnp.zeros((n_features,), bool),
     )
 
 
@@ -98,41 +112,52 @@ def _scale_radius(level, base):
     return base * (1.2 ** level.astype(jnp.float32))
 
 
-def _match_against_points(cam, pose, m: MapState, cand_idx, cand_ok,
-                          frame: FrameData, radius_base, ratio,
-                          max_dist, already, query_angle=None):
-    """Project candidate map points and associate to frame features.
+def _match_candidates(cam, pose, xyz, desc, max_dist_bound, cand_ok,
+                      frame: FrameData, radius_base, ratio,
+                      max_dist, already, query_angle=None):
+    """Project explicit candidate arrays and associate to frame features.
 
-    cand_idx [C] point slots (gathered, fixed C); cand_ok [C] bool.
-    ``already`` [F] marks features that must not be re-matched.
-    ``query_angle`` [C] (optional): per-candidate reference keypoint
-    orientations — when given, the HISTO_LENGTH rotation-consistency
-    filter is applied exactly like the reference's motion-model
-    SearchByProjection(Frame&, Frame&) (src/ORBmatcher.cc [U]); the
-    local-map overload has no orientation check, matching the
-    reference, so the local stage passes None.
-    Returns assoc_update [F] int32 (point slot or -1).
+    xyz [C, 3] world, desc [C, 8], max_dist_bound [C] scale far bound,
+    cand_ok [C] bool.  ``already`` [F] marks features that must not be
+    re-matched.  ``query_angle`` [C] (optional): per-candidate reference
+    keypoint orientations — when given, the HISTO_LENGTH rotation-
+    consistency filter is applied exactly like the reference's
+    motion-model SearchByProjection(Frame&, Frame&)
+    (src/ORBmatcher.cc [U]); the local-map overload has no orientation
+    check, matching the reference, so the local stage passes None.
+    Returns (idx [C] int32 candidate->frame-feature or -1, ok [C]).
     """
-    xyz = m.pt_xyz[cand_idx]
     uvr, z = project_stereo(cam, se3_apply(pose, xyz))
     pred_lv = predict_scale(
         jnp.linalg.norm(xyz - _cam_center(pose)[None], axis=-1),
-        m.pt_max_dist[cand_idx], 1.2, 8)
-    in_img = ((z > 0.2) & (uvr[:, 0] >= 0) & (uvr[:, 0] < cam.width)
-              & (uvr[:, 1] >= 0) & (uvr[:, 1] < cam.height))
+        max_dist_bound, 1.2, 8)
+    x0, x1, y0, y1 = cam.bounds()    # undistorted image bounds [U]
+    in_img = ((z > 0.2) & (uvr[:, 0] >= x0) & (uvr[:, 0] < x1)
+              & (uvr[:, 1] >= y0) & (uvr[:, 1] < y1))
     ok = cand_ok & in_img
     radii = _scale_radius(pred_lv, radius_base)
     feat_free = frame.valid & ~already
     idx, dist = search_by_projection(
         uvr[:, :2], radii, pred_lv,
-        m.pt_desc[cand_idx], ok,
+        desc, ok,
         frame.uv, frame.level, frame.desc, feat_free,
         max_dist=max_dist, ratio=ratio)
     if query_angle is not None:
-        from active_orb_slam2_tpu.ops.matching import (
-            rotation_consistency_mask)
         keep = rotation_consistency_mask(query_angle, frame.angle, idx)
         idx = jnp.where(keep, idx, -1)
+    return jnp.where(ok, idx, -1), ok
+
+
+def _match_against_points(cam, pose, m: MapState, cand_idx, cand_ok,
+                          frame: FrameData, radius_base, ratio,
+                          max_dist, already, query_angle=None):
+    """Map-point overload of :func:`_match_candidates`: gathers the
+    candidate arrays from the arena and scatters the matches back to a
+    per-feature point-slot association.  Returns (assoc [F], ok [C])."""
+    idx, ok = _match_candidates(
+        cam, pose, m.pt_xyz[cand_idx], m.pt_desc[cand_idx],
+        m.pt_max_dist[cand_idx], cand_ok, frame, radius_base, ratio,
+        max_dist, already, query_angle=query_angle)
     # scatter: feature -> point slot
     assoc = jnp.full((frame.uv.shape[0],), -1, jnp.int32)
     src = jnp.where((idx >= 0) & ok, cand_idx, -1)
@@ -177,38 +202,80 @@ def build_track_step(cfg: SlamConfig, local_cand: int = 2048):
 
     @jax.jit
     def track_step(m: MapState, frame: FrameData, st: TrackState,
-                   allow_kf=False):
+                   allow_kf=False, loc_mode=False):
         pred = jnp.where(st.vel_ok, se3_compose(st.velocity, st.pose),
                          st.pose)
 
         # ---- motion-model stage: re-find last frame's points -------------
+        # Candidates are indexed by LAST-frame feature f: the map point
+        # st.assoc[f], or — in localization-only mode — the temporal
+        # point backprojected from f's depth (UpdateLastFrame's
+        # mlpTemporalPoints [U]), which shares f's descriptor/angle.
+        F = st.assoc.shape[0]
         prev_pts = jnp.where((st.assoc >= 0), st.assoc, 0)
-        prev_ok = (st.assoc >= 0) & m.pt_valid[prev_pts]
-        assoc1, _ = _match_against_points(
-            cam, pred, m, prev_pts, prev_ok, frame,
+        map_ok = (st.assoc >= 0) & m.pt_valid[prev_pts]
+        use_tmp = loc_mode & st.tmp_ok & ~map_ok
+        cand_xyz = jnp.where(use_tmp[:, None], st.tmp_xyz,
+                             m.pt_xyz[prev_pts])
+        cand_desc = jnp.where(use_tmp[:, None], st.tmp_desc,
+                              m.pt_desc[prev_pts])
+        cand_maxd = jnp.where(use_tmp, st.tmp_max_dist,
+                              m.pt_max_dist[prev_pts])
+        idx1, cok = _match_candidates(
+            cam, pred, cand_xyz, cand_desc, cand_maxd,
+            map_ok | use_tmp, frame,
             radius_base=15.0, ratio=tcfg.nn_ratio_motion,
             max_dist=100.0, already=jnp.zeros_like(frame.valid),
             query_angle=st.angle)
-        res1 = _pose_opt_from_assoc(cam, pred, m, frame, assoc1)
+        matched_c = (idx1 >= 0) & cok
+        # scatter to current features: map-point slots and (separately)
+        # temporal candidate rows — temporal matches never enter the
+        # map association, only the motion-only pose optimization
+        assoc1 = jnp.full((F,), -1, jnp.int32).at[
+            jnp.clip(idx1, 0)].max(
+                jnp.where(matched_c & ~use_tmp, prev_pts, -1))
+        tmp_src = jnp.full((F,), -1, jnp.int32).at[
+            jnp.clip(idx1, 0)].max(
+                jnp.where(matched_c & use_tmp,
+                          jnp.arange(F, dtype=jnp.int32), -1))
+        tmp_src = jnp.where(assoc1 >= 0, -1, tmp_src)
+        pw1 = jnp.where((tmp_src >= 0)[:, None],
+                        st.tmp_xyz[jnp.clip(tmp_src, 0)],
+                        m.pt_xyz[jnp.clip(assoc1, 0)])
+        obs_uvr1 = jnp.concatenate([frame.uv, frame.ur[:, None]], -1)
+        valid1 = ((assoc1 >= 0) | (tmp_src >= 0)) & frame.valid
+        from active_orb_slam2_tpu.ops.pose_opt_kernel import (
+            pose_optimization_fused)
+        res1 = pose_optimization_fused(
+            cam, pred, pw1, obs_uvr1, frame.level, frame.ur > 0, valid1)
         # TrackReferenceKeyFrame-style fallback (reference ~L730 [U]):
         # if the motion-model stage collapses, discard its pose and
         # associations and let the local-map stage search wide from the
-        # motion prediction instead.
+        # LAST frame's pose (the reference restarts from mLastFrame.mTcw,
+        # not the velocity prediction that just failed).
         mm_ok = res1.n_inliers >= tcfg.min_inliers_track
         assoc1 = jnp.where(mm_ok & res1.inliers, assoc1, -1)
-        pose = jnp.where(mm_ok, res1.pose, pred)
+        pose = jnp.where(mm_ok, res1.pose, st.pose)
         # reference doubles the search window when the first pass fails
         # (SearchByProjection th=15 -> 2x, ~L800 [U]); our equivalent is
         # a wide local-stage radius
         local_radius = jnp.where(mm_ok, 4.0, 25.0)
 
         # ---- local-map stage --------------------------------------------
-        # vote for local KFs through the forward observation store
+        # vote for local KFs through the forward observation store.
+        # On motion-stage collapse assoc1 is all -1, so the vote source
+        # falls back to the PREVIOUS frame's associations (st.assoc,
+        # read before the clearing above) — otherwise the local-KF vote
+        # would be empty and the wide search would have no candidates,
+        # guaranteeing LOST (the round-3 dead-fallback bug).
+        vote_src = jnp.where(mm_ok, assoc1, st.assoc)
+        vote_mask_p = jnp.zeros((m.max_points,), bool).at[
+            jnp.clip(vote_src, 0)].max(vote_src >= 0)
         matched_mask_p = jnp.zeros((m.max_points,), bool).at[
             jnp.clip(assoc1, 0)].max(assoc1 >= 0)
         obs_pt = jnp.clip(m.kf_point, 0)
         votes = jnp.sum(
-            jnp.where((m.kf_point >= 0) & matched_mask_p[obs_pt]
+            jnp.where((m.kf_point >= 0) & vote_mask_p[obs_pt]
                       & m.kf_valid[:, None], 1, 0), axis=1)   # [K]
         nloc = min(tcfg.max_local_keyframes, m.max_keyframes)
         vote_w, local_kf = jax.lax.top_k(votes, nloc)
@@ -248,7 +315,22 @@ def build_track_step(cfg: SlamConfig, local_cand: int = 2048):
             jnp.clip(assoc, 0)].max(assoc >= 0)
 
         velocity = se3_compose(pose, se3_inverse(st.pose))
-        ok = res2.n_inliers >= tcfg.min_inliers_local
+        # localization-only mode survives on temporal points when the
+        # map is out of view (the reference's mbVO visual-odometry
+        # state, Tracking::Track ~L300 [U]): the motion stage counts
+        # temporal inliers, so >= 20 there keeps tracking OK even with
+        # too few map inliers
+        ok = (res2.n_inliers >= tcfg.min_inliers_local) \
+            | (loc_mode & (res1.n_inliers >= 20))
+        # refresh the temporal-point ring from THIS frame's close depth
+        # (UpdateLastFrame synthesizes points closer than ThDepth [U])
+        Twc = se3_inverse(pose)
+        t_z = frame.depth
+        t_x = (frame.uv[:, 0] - cam.cx) / cam.fx * t_z
+        t_y = (frame.uv[:, 1] - cam.cy) / cam.fy * t_z
+        tmp_pw = se3_apply(Twc, jnp.stack([t_x, t_y, t_z], axis=-1))
+        tmp_dist = jnp.linalg.norm(tmp_pw - _cam_center(pose)[None],
+                                   axis=-1)
         new_st = st._replace(
             pose=pose, velocity=velocity,
             vel_ok=st.ok,
@@ -256,6 +338,12 @@ def build_track_step(cfg: SlamConfig, local_cand: int = 2048):
             angle=frame.angle,
             n_inliers=res2.n_inliers,
             ok=ok,
+            tmp_xyz=tmp_pw,
+            tmp_desc=frame.desc,
+            tmp_max_dist=tmp_dist * (
+                1.2 ** frame.level.astype(jnp.float32)),
+            tmp_ok=frame.valid & (frame.depth > 0.1)
+            & (frame.depth < tcfg.th_depth),
         )
         # visibility counters folded in (MapPoint::IncreaseVisible/Found)
         # — only the two counter arrays change, other map fields alias

@@ -6,6 +6,8 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy e2e module (run with -m slow)
+
 from active_orb_slam2_tpu.config import (
     MapConfig, OrbConfig, SlamConfig, TrackingConfig)
 from active_orb_slam2_tpu.geometry import CameraParams, umeyama_alignment

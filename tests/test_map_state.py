@@ -182,3 +182,53 @@ def test_keyframe_culling_scale_condition():
     m_coarse, victim = cull(base_map(other_level=3), jnp.int32(0))
     assert int(np.asarray(m_coarse.kf_valid).sum()) == 5
     assert int(victim) == -1
+
+
+def test_keyframe_culling_forced_eviction():
+    """Arena-full escape hatch (round-3 verdict Weak 3): with force=True
+    and NO keyframe passing the 90% redundancy rule, the most redundant
+    non-anchor KF is evicted anyway; the oldest live KF (gauge anchor)
+    and the current KF are never chosen."""
+    import jax
+    import jax.numpy as jnp
+    from active_orb_slam2_tpu.config import (
+        MapConfig, OrbConfig, SlamConfig, TrackingConfig)
+    from active_orb_slam2_tpu.geometry import CameraParams
+    from active_orb_slam2_tpu.models.local_mapping import (
+        build_keyframe_culling)
+
+    cam = CameraParams(fx=100., fy=100., cx=32., cy=32., bf=10.,
+                       width=64, height=64)
+    cfg = SlamConfig(camera=cam, orb=OrbConfig(n_features=24, n_levels=4),
+                     tracking=TrackingConfig(),
+                     map=MapConfig(max_keyframes=8, max_points=64))
+    cull_soft = build_keyframe_culling(cfg)
+    cull_forced = build_keyframe_culling(cfg, force=True)
+
+    # 5 KFs share 8 points at octave 0, and EVERY KF also has 8 private
+    # points -> redundancy frac = 0.5 for all: nothing passes 0.9
+    m = empty_map(cfg.map, cfg.orb)
+    kfp = m.kf_point
+    nxt = 8
+    for k in range(5):
+        for f in range(8):
+            kfp = kfp.at[k, f].set(f)
+        for j in range(8):
+            kfp = kfp.at[k, 8 + j].set(nxt)
+            nxt += 1
+    fv = m.kf_feat_valid.at[:5, :16].set(True)
+    m = m._replace(
+        kf_valid=m.kf_valid.at[:5].set(True),
+        kf_frame_id=m.kf_frame_id.at[:5].set(
+            jnp.arange(5, dtype=jnp.int32)),
+        kf_feat_valid=fv,
+        pt_valid=m.pt_valid.at[:nxt].set(True),
+        kf_point=kfp)
+
+    _, victim_soft = cull_soft(m, jnp.int32(4))
+    assert int(victim_soft) == -1          # nothing passes the rule
+    m2, victim = cull_forced(m, jnp.int32(4))
+    v = int(victim)
+    assert v >= 0                          # forced eviction happened
+    assert v not in (4, 0)                 # not current, not anchor
+    assert not bool(m2.kf_valid[v])

@@ -1,5 +1,9 @@
 """Relocalization tests: PnP RANSAC and the lost-recovery path."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy e2e module (run with -m slow)
+
 import numpy as np
 import jax
 import jax.numpy as jnp
