@@ -159,6 +159,36 @@ def loop_trajectory(n_frames: int, radius: float = 1.5):
     return poses
 
 
+def tour_trajectory(n_frames: int, ax: float = 2.6, az: float = 2.6,
+                    fx: float = 1.0, fz: float = 2.0):
+    """Closed Lissajous tour through the room with tangent heading —
+    covers far more viewpoint area than a circle (many distinct views,
+    so keyframe culling cannot collapse the live set) and returns to
+    the start, plus self-crossings mid-run.  The KITTI-00-shaped
+    endurance fixture: distinct territory most of the time, genuine
+    revisits at the crossings and the lap boundary."""
+    poses = []
+    for i in range(n_frames):
+        t = 2.0 * np.pi * i / (n_frames - 1)
+        pos = np.array([ax * np.sin(fx * t),
+                        0.3 * np.sin(3.1 * t),
+                        az * np.sin(fz * t) * 0.5], np.float32)
+        # tangent direction (normalized velocity)
+        vel = np.array([ax * fx * np.cos(fx * t),
+                        0.0,
+                        az * fz * np.cos(fz * t) * 0.5], np.float32)
+        nv = np.linalg.norm(vel)
+        fwd = vel / nv if nv > 1e-6 else np.array([0, 0, 1], np.float32)
+        up = np.array([0.0, 1.0, 0.0], np.float32)
+        right = np.cross(up, fwd)
+        right /= np.linalg.norm(right)
+        up2 = np.cross(fwd, right)
+        T = np.eye(4, dtype=np.float32)
+        T[:3, 0], T[:3, 1], T[:3, 2], T[:3, 3] = right, up2, fwd, pos
+        poses.append(T)
+    return poses
+
+
 def make_sequence(n_frames: int, cam: CameraParams, world=None,
                   trajectory=None):
     """Generator of (gray, depth, Twc_gt) frames."""

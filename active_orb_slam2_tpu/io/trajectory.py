@@ -18,14 +18,43 @@ from active_orb_slam2_tpu.geometry.se3 import (
 
 def resolve_frame_poses(rel_records, kf_poses):
     """rel_records: list of (timestamp, ref_kf_slot, Tcr [7]) per frame;
-    kf_poses: final [K, 7] Tcw.  Returns (timestamps, Tcw [N, 7])."""
-    import jax.numpy as jnp
-    ts, poses = [], []
-    for t, ref, tcr in rel_records:
-        tcw = se3_compose(jnp.asarray(tcr), jnp.asarray(kf_poses[ref]))
-        ts.append(t)
-        poses.append(np.asarray(tcw))
-    return np.array(ts), np.stack(poses) if poses else np.zeros((0, 7))
+    kf_poses: final [K, 7] Tcw.  Returns (timestamps, Tcw [N, 7]).
+
+    Vectorized host-side replay: one per-record eager device compose
+    cost a tunnel RPC each (~2 minutes for a 4,000-frame run)."""
+    if not rel_records:
+        return np.zeros((0,)), np.zeros((0, 7))
+    kf = np.asarray(kf_poses, np.float64)
+    ts = np.array([t for t, _, _ in rel_records])
+    refs = np.array([r for _, r, _ in rel_records], np.int64)
+    tcr = np.stack([np.asarray(c, np.float64)
+                    for _, _, c in rel_records])
+    # ref -1 = frozen ABSOLUTE record (its reference KF was culled with
+    # no live parent): compose against identity
+    ident = np.array([1.0, 0, 0, 0, 0, 0, 0])
+    ref_pose = np.where((refs >= 0)[:, None], kf[np.maximum(refs, 0)],
+                        ident[None])                      # [N, 7]
+
+    def bquat_mul(a, b):                                  # [N,4]x[N,4]
+        aw, ax, ay, az = a[:, 0], a[:, 1], a[:, 2], a[:, 3]
+        bw, bx, by, bz = b[:, 0], b[:, 1], b[:, 2], b[:, 3]
+        return np.stack([
+            aw * bw - ax * bx - ay * by - az * bz,
+            aw * bx + ax * bw + ay * bz - az * by,
+            aw * by - ax * bz + ay * bw + az * bx,
+            aw * bz + ax * by - ay * bx + az * bw], axis=-1)
+
+    def bquat_rot(q, v):                                  # [N,4],[N,3]
+        qw, qv = q[:, :1], q[:, 1:]
+        uv = np.cross(qv, v) + qw * v
+        return v + 2.0 * np.cross(qv, uv)
+
+    q = bquat_mul(tcr[:, :4], ref_pose[:, :4])
+    t3 = bquat_rot(tcr[:, :4], ref_pose[:, 4:7]) + tcr[:, 4:7]
+    out = np.concatenate([q, t3], axis=-1)
+    n = np.linalg.norm(out[:, :4], axis=-1, keepdims=True)
+    out[:, :4] /= np.maximum(n, 1e-12)
+    return ts, out.astype(np.float32)
 
 
 def save_tum(path, timestamps, poses_cw):

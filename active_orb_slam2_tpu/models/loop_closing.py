@@ -182,7 +182,25 @@ class LoopCloser:
             _, qw, qwt = transform_sparse(voc, qd, qv)
             return l1_score_sparse(voc.n_words, qw, qwt, dbw, dbwt)
 
-        return dense_rows, sparse_rows, dense_query, sparse_query
+        # keyframe-slot query variants: the gather + mask happens INSIDE
+        # the jit (the eager ``m.kf_desc[cur_kf]`` gathers cost one
+        # tunnel RPC each at keyframe rate)
+        @jax.jit
+        def dense_query_kf(m: MapState, kf, bows):
+            qd = m.kf_desc[kf]
+            qv = m.kf_feat_valid[kf] & m.kf_valid[kf]
+            _, bow_q = transform(voc, qd, qv)
+            return l1_score(bow_q, bows)
+
+        @jax.jit
+        def sparse_query_kf(m: MapState, kf, dbw, dbwt):
+            qd = m.kf_desc[kf]
+            qv = m.kf_feat_valid[kf] & m.kf_valid[kf]
+            _, qw, qwt = transform_sparse(voc, qd, qv)
+            return l1_score_sparse(voc.n_words, qw, qwt, dbw, dbwt)
+
+        return (dense_rows, sparse_rows, dense_query, sparse_query,
+                dense_query_kf, sparse_query_kf)
 
     def refresh_bows(self, m: MapState):
         """Bring the per-KF BoW cache up to date: transform ONLY slots
@@ -249,6 +267,15 @@ class LoopCloser:
         if self.vocab.n_words <= 4096:
             return self._bow_fns[2](q_desc, q_valid, self._bow_dense)
         return self._bow_fns[3](q_desc, q_valid,
+                                self._bow_words, self._bow_weights)
+
+    def score_kf(self, m: MapState, kf):
+        """L1 similarity of keyframe ``kf``'s descriptors against every
+        keyframe (loop-detection query; gather happens in-jit)."""
+        self.refresh_bows(m)
+        if self.vocab.n_words <= 4096:
+            return self._bow_fns[4](m, jnp.asarray(kf), self._bow_dense)
+        return self._bow_fns[5](m, jnp.asarray(kf),
                                 self._bow_words, self._bow_weights)
 
     # ------------------------------------------------------------- detection
@@ -322,9 +349,7 @@ class LoopCloser:
         if self._detect_fn is None:
             self._detect_fn = self._build_detect_fn()
         self._ensure_buffer(m.max_keyframes)
-        scores = self.score_query(
-            m, m.kf_desc[cur_kf],
-            m.kf_feat_valid[cur_kf] & m.kf_valid[cur_kf])
+        scores = self.score_kf(m, cur_kf)
         cand, ok, self._prev_accept = self._detect_fn(
             m, jnp.asarray(cur_kf), W, scores, self._prev_accept)
         self._n_groups += 1
@@ -385,71 +410,81 @@ class LoopCloser:
     # --------------------------------------------------------------- correct
 
     def correct(self, m: MapState, cur_kf: int, loop_kf: int, s_cm,
-                W=None):
-        """Full loop correction; returns the corrected map."""
-        if W is None:
-            W = _jit_covis(m)
-        pre_sim3 = sim3_from_se3(m.kf_pose)                # [K, 8]
-        corrected_scur = sim3_compose(
-            s_cm, sim3_from_se3(m.kf_pose[loop_kf]))
+                W=None, max_loop: int = 32):
+        """Full loop correction; returns the corrected map.
 
-        group = (W[cur_kf] >= self.cfg.map.covis_min_weight) \
-            .at[cur_kf].set(True) & m.kf_valid
+        The ENTIRE CorrectLoop pipeline — Sim3 propagation, point
+        transform, SearchAndFuse, essential-graph build + optimize,
+        bounded global BA — runs as ONE cached jitted program.  The
+        round-3 version called these stages eagerly; on the tunneled
+        device the hundreds of small dispatches cost ~27 s PER CLOSURE
+        (endurance run r4 measurement) vs ~1 s of actual compute.
 
-        m = _apply_sim3_correction(m, pre_sim3, corrected_scur,
-                                   jnp.asarray(cur_kf), group)
-        m = _fuse_loop_points(m, jnp.asarray(cur_kf), jnp.asarray(loop_kf),
-                              W, self.cfg)
-
-        # essential graph: measurements from pre-correction poses,
-        # vertices start at current (partly corrected) poses
-        self.loop_edges.append((int(loop_kf), int(cur_kf)))
-        loop_rel = sim3_compose(corrected_scur,
-                                sim3_inverse(pre_sim3[loop_kf]))
-        edges = self._essential_edges(
-            pre_sim3, m.kf_valid, m.kf_parent, W, loop_rel)
-
-        cur_sim3 = sim3_from_se3(m.kf_pose)
-        fixed = jnp.zeros(m.max_keyframes, bool).at[loop_kf].set(True)
-        fixed = fixed | ~m.kf_valid
-        opt_sim3, _ = optimize_essential_graph(cur_sim3, edges, fixed)
-        m = _apply_posegraph_result(m, cur_sim3, opt_sim3)
-
-        # bounded global BA slice (the reference's background GBA)
-        pedges = build_point_major_edges(m)
-        gba_fixed = jnp.zeros(m.max_keyframes, bool).at[loop_kf].set(True)
-        poses, pts, _ = global_ba(
-            self.cfg.camera, m.kf_pose, m.kf_valid, m.pt_xyz, m.pt_valid,
-            pedges, gba_fixed, iters=self.gba_iters)
-        m = m._replace(kf_pose=poses, pt_xyz=pts)
-        return m
-
-    def _essential_edges(self, pre_sim3, kf_valid, kf_parent, W,
-                         newest_loop_rel, max_loop: int = 32):
-        """Essential-graph edge list for ALL closed loops so far, with
-        the just-verified Sim3 written into the NEWEST loop's slot.
-
-        Loop edge n sits at slot E - max_loop + n (build_essential_edges
-        appends the loop list after tree+covis edges).  Round 2 wrote
-        slot E - max_loop unconditionally, corrupting the first loop's
-        measurement on the second closure (verdict Weak #2); older
-        loops' measurements now come from the current (already
+        Loop-edge bookkeeping: loop edge n sits at slot E - max_loop + n
+        (build_essential_edges appends the loop list after tree+covis
+        edges); the just-verified Sim3 is written into the NEWEST loop's
+        slot, older loops' measurements come from the current (already
         corrected) poses, which encode their verified Sim3s.
         """
+        if W is None:
+            W = _jit_covis(m)
+        if getattr(self, "_correct_fn", None) is None:
+            cfg = self.cfg
+            min_w = cfg.map.covis_min_weight
+            gba_iters = self.gba_iters
+
+            @jax.jit
+            def correct_full(m: MapState, cur_kf, loop_kf, s_cm, W,
+                             li, lj, new_n):
+                pre_sim3 = sim3_from_se3(m.kf_pose)        # [K, 8]
+                corrected_scur = sim3_compose(
+                    s_cm, sim3_from_se3(m.kf_pose[loop_kf]))
+                group = (W[cur_kf] >= min_w) \
+                    .at[cur_kf].set(True) & m.kf_valid
+                m = _apply_sim3_correction(
+                    m, pre_sim3, corrected_scur, cur_kf, group)
+                m = _fuse_loop_points(m, cur_kf, loop_kf, W, cfg)
+
+                # essential graph: measurements from pre-correction
+                # poses, vertices start at current (partly corrected)
+                loop_rel = sim3_compose(
+                    corrected_scur, sim3_inverse(pre_sim3[loop_kf]))
+                edges = build_essential_edges(
+                    pre_sim3, m.kf_valid, m.kf_parent, W, li, lj,
+                    max_loop=max_loop)
+                E_tree_cov = edges.meas_ji.shape[0] - max_loop
+                edges = edges._replace(
+                    meas_ji=edges.meas_ji.at[
+                        E_tree_cov + new_n].set(loop_rel))
+                cur_sim3 = sim3_from_se3(m.kf_pose)
+                fixed = jnp.zeros(m.max_keyframes, bool) \
+                    .at[loop_kf].set(True) | ~m.kf_valid
+                opt_sim3, _ = optimize_essential_graph(
+                    cur_sim3, edges, fixed)
+                m = _apply_posegraph_result(m, cur_sim3, opt_sim3)
+
+                # bounded global BA slice (the reference's background
+                # GBA thread becomes a deterministic synchronous slice)
+                pedges = build_point_major_edges(m)
+                gba_fixed = jnp.zeros(m.max_keyframes, bool) \
+                    .at[loop_kf].set(True)
+                poses, pts, _ = global_ba(
+                    cfg.camera, m.kf_pose, m.kf_valid, m.pt_xyz,
+                    m.pt_valid, pedges, gba_fixed, iters=gba_iters)
+                return m._replace(kf_pose=poses, pt_xyz=pts)
+
+            self._correct_fn = correct_full
+
+        self.loop_edges.append((int(loop_kf), int(cur_kf)))
         li = np.full(max_loop, -1, np.int32)
         lj = np.full(max_loop, -1, np.int32)
         for n, (a, b) in enumerate(self.loop_edges[:max_loop]):
             li[n], lj[n] = a, b
-        edges = build_essential_edges(
-            pre_sim3, kf_valid, kf_parent, W,
-            jnp.asarray(li), jnp.asarray(lj), max_loop=max_loop)
-        E_tree_cov = edges.meas_ji.shape[0] - max_loop
-        new_n = len(self.loop_edges) - 1
-        if 0 <= new_n < max_loop:
-            edges = edges._replace(
-                meas_ji=edges.meas_ji.at[E_tree_cov + new_n].set(
-                    newest_loop_rel))
-        return edges
+        new_n = min(len(self.loop_edges) - 1, max_loop - 1)
+        return self._correct_fn(
+            m, jnp.asarray(cur_kf), jnp.asarray(loop_kf), s_cm, W,
+            jnp.asarray(li), jnp.asarray(lj),
+            jnp.asarray(new_n, jnp.int32))
 
     # ------------------------------------------------------------------ main
 

@@ -188,6 +188,7 @@ class System:
         self.last_kf_inliers = 0
         self.rel_records = []            # (t, ref_kf_slot, Tcr) per frame
         self.kf_records = []             # (t, kf_slot) per keyframe
+        self._live_slots = set()         # live KF slots (host mirror)
         self.metrics = []                # per-frame dict
 
     # ----------------------------------------------------- state / pipeline
@@ -210,6 +211,7 @@ class System:
         self.last_kf_inliers = 0
         self.rel_records = []
         self.kf_records = []
+        self._live_slots = set()
         self.metrics = []
         self._pending = []
         if self.loop_closer is not None:
@@ -347,9 +349,17 @@ class System:
                 if kf_slot >= 0:
                     self._register_keyframe(kf_slot, e["ts"],
                                             e["frame_id"], n_inliers)
-            self._record_frame(e["ts"], pose_np,
-                               ref=ref_slot if ref_slot >= 0 else None,
-                               ref_pose=ref_pose_np)
+            # a frame can retire AFTER its device-side reference KF was
+            # culled (and possibly re-tenanted); record it as an
+            # absolute pose then — composing against a recycled slot
+            # replays a different keyframe's pose (r4 endurance bug)
+            if ref_slot >= 0 and ref_slot not in self._live_slots:
+                self.rel_records.append(
+                    (e["ts"], -1, np.asarray(pose_np, np.float64)))
+            else:
+                self._record_frame(e["ts"], pose_np,
+                                   ref=ref_slot if ref_slot >= 0 else None,
+                                   ref_pose=ref_pose_np)
         # arena nearly full: evict a redundant keyframe so the device's
         # (live < max) gate reopens — culling otherwise only runs at
         # keyframe rate and a full arena would deadlock
@@ -462,6 +472,7 @@ class System:
             return pose
         k = int(k)
         self.last_kf_slot = k
+        self._live_slots.add(k)
         self.kf_seq += 1
         self.n_live_kf += 1
         self.last_kf_frame = self.frame_id
@@ -516,6 +527,7 @@ class System:
         import time as _time
         self.kf_seq += 1
         self.n_live_kf += 1
+        self._live_slots.add(k)
         self.last_kf_slot = k
         self.last_kf_frame = frame_id
         self.last_kf_inliers = n_inliers
@@ -566,22 +578,41 @@ class System:
         ``while (pKF->isBad()) { Trw = Trw*pKF->mTcp; pKF = parent; }``,
         src/System.cc ~L320-480 [U]).  Tcr' = Tcr . Tv . Tp^-1 keeps the
         replayed frame pose identical at cull time and lets it follow
-        the parent through later BA / loop corrections."""
+        the parent through later BA / loop corrections.
+
+        The parent slot must be LIVE: under heavy recycling the stored
+        parent may itself have been culled and its slot re-tenanted by
+        a NEWER keyframe, and composing against the new tenant's pose
+        replays garbage (the r4 endurance run hit 25 m ATE this way).
+        When no live parent exists the records are frozen as ABSOLUTE
+        poses (ref = -1): they keep their cull-time estimate instead of
+        following later corrections — the safe degradation."""
         if victim < 0:
             return
         self.n_live_kf = max(self.n_live_kf - 1, 0)
+        self._live_slots.discard(victim)
         from active_orb_slam2_tpu.utils import np_se3
         parent_a, vpose_a = host_fetch(
             self.map.kf_parent[victim], self.map.kf_pose[victim])
         parent = int(parent_a)
         vpose = np.asarray(vpose_a, np.float64)
-        ppose = np.asarray(host_fetch(self.map.kf_pose[parent]),
-                           np.float64)
-        t_vp = np_se3.se3_compose(vpose, np_se3.se3_inverse(ppose))
-        self.rel_records = [
-            (t, parent, np_se3.se3_compose(tcr, t_vp)) if ref == victim
-            else (t, ref, tcr)
-            for (t, ref, tcr) in self.rel_records]
+        if parent < 0 or parent not in self._live_slots:
+            # no live parent: fall back to the newest live keyframe
+            parent = self.last_kf_slot \
+                if self.last_kf_slot in self._live_slots else -1
+        if parent >= 0:
+            ppose = np.asarray(host_fetch(self.map.kf_pose[parent]),
+                               np.float64)
+            t_vp = np_se3.se3_compose(vpose, np_se3.se3_inverse(ppose))
+            self.rel_records = [
+                (t, parent, np_se3.se3_compose(tcr, t_vp))
+                if ref == victim else (t, ref, tcr)
+                for (t, ref, tcr) in self.rel_records]
+        else:
+            self.rel_records = [
+                (t, -1, np_se3.se3_compose(tcr, vpose))
+                if ref == victim else (t, ref, tcr)
+                for (t, ref, tcr) in self.rel_records]
         self.kf_records = [r for r in self.kf_records if r[1] != victim]
 
     def _record_frame(self, timestamp, pose_np, ref=None, ref_pose=None):
@@ -688,6 +719,7 @@ class System:
             return pose
         self.kf_seq = 2
         self.n_live_kf = 2
+        self._live_slots.update((0, 1))
         self.last_kf_slot = 1
         self.last_kf_frame = self.frame_id
         self.last_kf_inliers = int(n_pts)
@@ -861,6 +893,7 @@ class System:
         self.n_loops_closed = 0
         kf_valid = np.asarray(self.map.kf_valid)
         self.n_live_kf = int(kf_valid.sum())
+        self._live_slots = set(int(s) for s in np.flatnonzero(kf_valid))
         if self.last_kf_slot >= 0 and kf_valid[self.last_kf_slot]:
             self._last_kf_pose_np = np.asarray(
                 self.map.kf_pose[self.last_kf_slot])

@@ -94,8 +94,11 @@ def mapping_timing(slam):
 def full_pipeline_window(frames, cam, System, SlamConfig, OrbConfig,
                          TrackingConfig, MapConfig):
     """Deployment-shape window: DEFAULT 512-KF/65,536-pt arena,
-    mapping + loop closing ON; ms/frame over the second half of the
-    sequence (first half pays map init + compiles)."""
+    mapping + loop closing ON.  The warmup must reach PAST the
+    vocabulary-training keyframe count (4 live KFs -> ~frame 32 at
+    kf_max_interval=8) and the first loop-detect compile, or those
+    one-time costs (~10 s on the tunnel) land inside the measuring
+    window and misreport steady state by an order of magnitude."""
     cfg = SlamConfig(
         camera=cam,
         orb=OrbConfig(n_features=1024, n_levels=8),
@@ -103,26 +106,33 @@ def full_pipeline_window(frames, cam, System, SlamConfig, OrbConfig,
         map=MapConfig())                     # the defaults: 512 / 65536
     slam = System(cfg, use_mapping=True, use_loop_closing=True)
     n = len(frames)
-    half = n // 2
-    for i in range(half):
+    measure = max(n // 3, 12)
+    warm = n - measure
+    for i in range(warm):
         g, d = frames[i]
         slam.track_rgbd(g, d, i / 30.0)
-        if i % 8 == 0:
-            _lap(f"full-pipeline warmup {i}")
+        if i % 16 == 0:
+            _lap(f"full-pipeline warmup {i} (kf={slam.kf_seq})")
     slam.flush()
-    _lap("measuring full pipeline")
+    _lap(f"measuring full pipeline ({slam.kf_seq} KFs after warmup)")
     t0 = time.perf_counter()
-    for i in range(half, n):
+    for i in range(warm, n):
         g, d = frames[i]
         slam.track_rgbd(g, d, i / 30.0)
     slam.flush()
-    ms = (time.perf_counter() - t0) / (n - half) * 1e3
+    ms = (time.perf_counter() - t0) / measure * 1e3
     _lap(f"full pipeline: {ms:.2f} ms/frame ({slam.kf_seq} KFs)")
     return ms, slam.kf_seq
 
 
 def ba_roofline():
-    """BA iters/s on this chip (north star: per-chip BA at roofline)."""
+    """BA iters/s on this chip (north star: per-chip BA at roofline).
+
+    Two problem sizes: the 48-KF/8k-pt LOCAL-BA shape (small ops —
+    latency-bound, the deployment per-KF case) and a KITTI-00-scale
+    512-KF/65k-pt GLOBAL-BA shape where each einsum is big enough to
+    measure real MXU utilization.  Returns
+    (small_iters_per_s, small_flops, big_iters_per_s, big_flops)."""
     import jax
     sys.path.insert(0, os.path.join(os.path.dirname(
         os.path.abspath(__file__)), "scripts"))
@@ -132,20 +142,25 @@ def ba_roofline():
 
     cam = CameraParams(fx=400., fy=400., cx=320., cy=320., bf=40.,
                        width=640, height=640)
-    prob = build_problem()
-    iters = 10
-    f = jax.jit(lambda *a: global_ba(cam, *a, iters=iters))
-    out = f(*prob)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    reps = 5
-    for _ in range(reps):
+
+    def measure(K, Pn, O, iters, reps):
+        prob = build_problem(K=K, Pn=Pn, O=O)
+        f = jax.jit(lambda *a: global_ba(cam, *a, iters=iters))
         out = f(*prob)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / reps
-    its = iters / dt
-    fl = ba_flops_per_iter() * its
-    return its, fl
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = f(*prob)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / reps
+        its = iters / dt
+        return its, ba_flops_per_iter(K=K, Pn=Pn, O=O) * its
+
+    s_its, s_fl = measure(48, 8192, 8, iters=10, reps=5)
+    _lap(f"BA small: {s_its:.1f} iters/s")
+    b_its, b_fl = measure(512, 65536, 8, iters=10, reps=3)
+    _lap(f"BA big: {b_its:.1f} iters/s")
+    return s_its, s_fl, b_its, b_fl
 
 
 def mesh_scaling_efficiency():
@@ -156,17 +171,29 @@ def mesh_scaling_efficiency():
             [sys.executable, "scripts/bench_ba_scaling.py", "mesh"],
             capture_output=True, text=True, timeout=900,
             cwd=os.path.dirname(os.path.abspath(__file__)))
-        eff = None
+        t1 = t8 = eff = None
         for line in out.stdout.splitlines():
             try:
                 d = json.loads(line)
             except (json.JSONDecodeError, ValueError):
                 continue
+            if d.get("devices") == 1:
+                t1 = d.get("time_s")
             if d.get("devices") == 8:
                 eff = d.get("efficiency")
-        return eff
+                t8 = d.get("time_s")
+        # On the virtual mesh all 8 "devices" share the host's cores,
+        # so ideal strong-scaling efficiency is 1/8 = 0.125 by
+        # construction; T1/T8 isolates the sharding+collectives
+        # overhead instead (1.0 = the distributed program costs no
+        # more wall time than the single-device program on the same
+        # cores).  Real multi-chip efficiency is governed by the O(K)
+        # psum payloads (see scripts/bench_ba_scaling.py's ICI model).
+        overhead = (round(t1 / t8, 3)
+                    if t1 and t8 else None)
+        return eff, overhead
     except (subprocess.TimeoutExpired, OSError):
-        return None
+        return None, None
 
 
 def main():
@@ -195,8 +222,8 @@ def main():
         map=MapConfig(max_keyframes=64, max_points=16384,
                       local_ba_keyframes=8, local_ba_points=2048))
 
-    n_frames = 42
-    _lap("rendering frames")
+    n_frames = 72          # 42 for the tracking windows; all 72 for the
+    _lap("rendering frames")   # full-pipeline window (vocab trains ~f32)
     frames = [(np.clip(g, 0, 255).astype(np.uint8),
                np.clip(d * 1e3, 0, 65535).astype(np.uint16))
               for g, d, _ in make_sequence(
@@ -206,7 +233,7 @@ def main():
 
     # tracking-path only (the reference's per-frame thread): mapping is
     # amortized at KF rate on a background cadence
-    ms_per_frame, slam = tracking_window(frames, cfg, System)
+    ms_per_frame, slam = tracking_window(frames[:42], cfg, System)
     fps = 1e3 / ms_per_frame
     baseline_ms = 30.0
 
@@ -238,21 +265,28 @@ def main():
 
     # BA roofline (verdict item 4 / north star)
     try:
-        its, fl = ba_roofline()
-        record["ba_iters_per_s"] = round(its, 2)
-        record["ba_est_tflops"] = round(fl / 1e12, 3)
+        s_its, s_fl, b_its, b_fl = ba_roofline()
+        record["ba_iters_per_s"] = round(s_its, 2)
+        record["ba_est_tflops"] = round(s_fl / 1e12, 3)
+        record["ba_global_iters_per_s_512kf_65kpt"] = round(b_its, 2)
+        record["ba_global_est_tflops"] = round(b_fl / 1e12, 3)
         # MFU vs an assumed fp32 dense peak; the assumption is recorded
         # so the estimate is auditable
         peak = 45.0e12
-        record["ba_mfu_estimate"] = round(fl / peak, 4)
+        record["ba_mfu_estimate"] = round(b_fl / peak, 4)
         record["ba_peak_tflops_assumed"] = peak / 1e12
     except Exception as e:
         _lap(f"BA roofline FAILED: {e!r}")
         record["ba_iters_per_s"] = None
 
-    # virtual-mesh strong scaling (correctness-bound lower estimate)
+    # virtual-mesh strong scaling (correctness-bound lower estimate;
+    # raw efficiency is bounded at 1/8 because the 8 virtual devices
+    # share the host's cores — the shared-core-normalized number is
+    # what carries signal)
     _lap("mesh scaling (subprocess)")
-    record["scaling_efficiency_at_8"] = mesh_scaling_efficiency()
+    eff, overhead = mesh_scaling_efficiency()
+    record["scaling_efficiency_at_8_virtual"] = eff
+    record["scaling_t1_over_t8_shared_cores"] = overhead
 
     print(json.dumps(record))
 

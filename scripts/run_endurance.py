@@ -46,6 +46,11 @@ def main():
     ap.add_argument("--out", default="ENDURANCE_r04.json")
     ap.add_argument("--width", type=int, default=320)
     ap.add_argument("--height", type=int, default=240)
+    ap.add_argument("--trajectory", choices=("circle", "tour"),
+                    default="tour",
+                    help="circle: maximal redundancy (stresses culling/"
+                    "recycling); tour: room-covering Lissajous "
+                    "(stresses arena growth toward the 512-KF cap)")
     args = ap.parse_args()
 
     if not args.tpu:
@@ -68,7 +73,7 @@ def main():
     from active_orb_slam2_tpu.geometry import CameraParams
     from active_orb_slam2_tpu.geometry.horn import umeyama_alignment
     from active_orb_slam2_tpu.io.synthetic import (
-        default_world, loop_trajectory, render_rgbd)
+        default_world, loop_trajectory, render_rgbd, tour_trajectory)
     from active_orb_slam2_tpu.io.trajectory import camera_centers
     from active_orb_slam2_tpu.models.system import LOST, OK, System
 
@@ -86,8 +91,13 @@ def main():
     assert cfg.map.max_keyframes == 512 and cfg.map.max_points == 65536
 
     t0 = time.time()
-    world = default_world()
-    traj = loop_trajectory(args.unique, radius=1.2)
+    # the tour sweeps most of the room: no interior boxes, or the
+    # camera clips into geometry (same reason the full-pipeline test
+    # uses the walled world for its radius-2.5 loop)
+    world = default_world(n_boxes=0 if args.trajectory == "tour" else 8)
+    traj = (loop_trajectory(args.unique, radius=1.2)
+            if args.trajectory == "circle"
+            else tour_trajectory(args.unique))
     print(f"[{time.time()-t0:6.1f}s] rendering {args.unique} unique "
           f"poses at {w}x{h}", file=sys.stderr, flush=True)
     cache = []
@@ -151,6 +161,7 @@ def main():
     record = {
         "metric": "endurance_full_pipeline_default_arena",
         "frames": n,
+        "trajectory": args.trajectory,
         "unique_poses": args.unique,
         "image": [w, h],
         "arena": [cfg.map.max_keyframes, cfg.map.max_points],

@@ -93,6 +93,7 @@ def test_tum_loader_and_association(tum_dir):
     assert 1000 < np.median(depth_mm[depth_mm > 0]) < 12000
 
 
+@pytest.mark.slow
 def test_full_cli_flow(tum_dir, tmp_path):
     """The run_tum_rgbd.py flow as a function: loaders -> System ->
     trajectory save -> in-repo ATE vs groundtruth.txt."""

@@ -122,6 +122,7 @@ def loop_setup():
     return m, Ka, Kb, A
 
 
+@pytest.mark.slow
 def test_loop_detect_and_correct(loop_setup):
     m, Ka, Kb, A = loop_setup
     m0 = m

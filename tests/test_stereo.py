@@ -32,6 +32,7 @@ def render_pair(world, Twc):
     return gl, gr, dl
 
 
+@pytest.mark.slow
 def test_stereo_depth_accuracy():
     from active_orb_slam2_tpu.config import OrbConfig
     from active_orb_slam2_tpu.models.frame import build_stereo_pipeline
@@ -53,6 +54,7 @@ def test_stereo_depth_accuracy():
     assert np.median(rel) < 0.05, np.median(rel)
 
 
+@pytest.mark.slow
 def test_stereo_pipeline_tracks():
     world = default_world()
     traj = orbit_trajectory(20, step_deg=2.0)

@@ -6,6 +6,7 @@ pure-NumPy radtan model; they must land back on the raw pixels to
 run whose ATE collapses when undistortion is enabled.
 """
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -115,6 +116,7 @@ def test_frustum_uses_undistorted_bounds():
     assert bool(np.asarray(vis_b).all())         # true bounds keep them
 
 
+@pytest.mark.slow
 def test_e2e_distorted_rgbd_ate():
     """Track a short distorted-image RGB-D sequence with and without
     undistortion enabled; enabling it must cut ATE dramatically."""
