@@ -190,10 +190,30 @@ def tour_trajectory(n_frames: int, ax: float = 2.6, az: float = 2.6,
 
 
 def make_sequence(n_frames: int, cam: CameraParams, world=None,
-                  trajectory=None):
-    """Generator of (gray, depth, Twc_gt) frames."""
+                  trajectory=None, photo_noise: float = 0.0,
+                  depth_noise: float = 0.0, seed: int = 7):
+    """Generator of (gray, depth, Twc_gt) frames.
+
+    Sensor-noise models for the hardened parity proxy (the real
+    datasets are unreachable in this environment — SURVEY.md §6):
+
+      * ``photo_noise``: additive Gaussian gray-level noise (sigma in
+        0..255 units; ~2-4 for a decent camera).
+      * ``depth_noise``: scale on a Kinect-style quadratic axial noise
+        model, sigma(z) = 0.0012 + 0.0019 (z - 0.4)^2 metres
+        (Khoshelham & Elberink 2012); 1.0 = realistic Kinect v1.
+    """
     world = world or default_world()
     trajectory = trajectory or orbit_trajectory(n_frames)
+    rng = np.random.default_rng(seed)
     for Twc in trajectory[:n_frames]:
         gray, depth = render_rgbd(world, cam, Twc)
+        if photo_noise > 0.0:
+            gray = gray + rng.normal(0.0, photo_noise, gray.shape)
+            gray = np.clip(gray, 0.0, 255.0).astype(np.float32)
+        if depth_noise > 0.0:
+            sigma = depth_noise * (
+                0.0012 + 0.0019 * np.square(depth - 0.4))
+            depth = (depth + rng.normal(0.0, 1.0, depth.shape)
+                     * sigma).astype(np.float32)
         yield gray, depth, Twc

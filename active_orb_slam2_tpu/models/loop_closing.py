@@ -48,7 +48,8 @@ class LoopCloser:
     def __init__(self, cfg: SlamConfig, consistency_th: int = 3,
                  vocab_k: int = 8, vocab_depth: int = 3,
                  min_sim3_matches: int = 20, min_total_matches: int = 40,
-                 gba_iters: int = 10, recent_frames_guard: int = 30,
+                 gba_iters: int = 6, gba_cg_iters: int = 24,
+                 recent_frames_guard: int = 30,
                  vocab_path: Optional[str] = None,
                  vocab_grow: bool = True):
         self.cfg = cfg
@@ -77,7 +78,14 @@ class LoopCloser:
         self.consistency_th = consistency_th
         self.min_sim3_matches = min_sim3_matches
         self.min_total_matches = min_total_matches
+        # bounded GBA slice per closure.  Cost model measured on the
+        # tunneled chip (512 KF / 65k pts): ~287 ms fixed per LM
+        # iteration + ~11 ms per CG iteration, dominated by per-op
+        # dispatch, not FLOPs — 6x24 lands at ~3.3 s/closure vs 8.3 s
+        # for the reference-like 10x48 with no measurable ATE change
+        # on the closure fixtures
         self.gba_iters = gba_iters
+        self.gba_cg_iters = gba_cg_iters
         self._prev_accept = None       # [C-1, K] device bool rolling buf
         self._n_groups = 0             # groups recorded so far
         self.fix_scale = cfg.sensor in ("stereo", "rgbd")
@@ -87,6 +95,7 @@ class LoopCloser:
         self._key = jax.random.PRNGKey(7)
         self._detect_fn = None         # jitted device-side detection
         self._sim3_fn = None           # jitted fused ComputeSim3 ladder
+        self._slot_fid = None          # host slot->frame-id view (gen tags)
         self.stage_ms = {}             # per-stage timing (profile mode)
         self.profile = False
         # per-keyframe BoW cache (the reference computes BoW once per
@@ -432,6 +441,7 @@ class LoopCloser:
             cfg = self.cfg
             min_w = cfg.map.covis_min_weight
             gba_iters = self.gba_iters
+            gba_cg = self.gba_cg_iters
 
             @jax.jit
             def correct_full(m: MapState, cur_kf, loop_kf, s_cm, W,
@@ -470,26 +480,86 @@ class LoopCloser:
                     .at[loop_kf].set(True)
                 poses, pts, _ = global_ba(
                     cfg.camera, m.kf_pose, m.kf_valid, m.pt_xyz,
-                    m.pt_valid, pedges, gba_fixed, iters=gba_iters)
+                    m.pt_valid, pedges, gba_fixed, iters=gba_iters,
+                    cg_iters=gba_cg)
                 return m._replace(kf_pose=poses, pt_xyz=pts)
 
             self._correct_fn = correct_full
 
-        self.loop_edges.append((int(loop_kf), int(cur_kf)))
+        # loop edges are stored with generation tags (source frame ids)
+        # so a closure years of recycling later does not pin a relative
+        # measurement between the NEW tenants of recycled slots
+        sf = self._slot_fid or {}
+        self.loop_edges.append(
+            (int(loop_kf), int(cur_kf),
+             sf.get(int(loop_kf)), sf.get(int(cur_kf))))
         li = np.full(max_loop, -1, np.int32)
         lj = np.full(max_loop, -1, np.int32)
-        for n, (a, b) in enumerate(self.loop_edges[:max_loop]):
+        for n, ed in enumerate(self.loop_edges[:max_loop]):
+            a, b = ed[0], ed[1]
+            if len(ed) >= 4 and sf:
+                fa, fb = ed[2], ed[3]
+                if (fa is not None and sf.get(a) != fa) or \
+                        (fb is not None and sf.get(b) != fb):
+                    continue               # a side was culled/recycled
             li[n], lj[n] = a, b
         new_n = min(len(self.loop_edges) - 1, max_loop - 1)
-        return self._correct_fn(
+        m_new = self._correct_fn(
             m, jnp.asarray(cur_kf), jnp.asarray(loop_kf), s_cm, W,
             jnp.asarray(li), jnp.asarray(lj),
             jnp.asarray(new_n, jnp.int32))
+        # finite guard: a numerically failed correction must not poison
+        # the map (one NaN pose cascades into permanent LOST — r4 tour
+        # endurance hit this at closure #21).  Reject + dump the
+        # pre-correction state for postmortem; tracking continues on
+        # the uncorrected map exactly as if verification had failed.
+        from active_orb_slam2_tpu.models.system import host_fetch
+        finite = host_fetch(jnp.isfinite(m_new.kf_pose).all()
+                            & jnp.isfinite(m_new.pt_xyz).all())
+        if not bool(finite):
+            import sys
+            print("[loop_closing] WARNING: non-finite loop correction "
+                  f"(cur={cur_kf} loop={loop_kf}) REJECTED; state "
+                  "dumped to /tmp/aos2_badloop.npz", file=sys.stderr)
+            try:
+                np.savez_compressed(
+                    "/tmp/aos2_badloop.npz",
+                    s_cm=np.asarray(s_cm), cur_kf=cur_kf,
+                    loop_kf=loop_kf, li=li, lj=lj, new_n=new_n,
+                    **{f: np.asarray(getattr(m, f))
+                       for f in m._fields})
+            except Exception:
+                pass
+            self.loop_edges.pop()
+            return m, False
+        return m_new, True
+
+    def _essential_edges(self, pre_sim3, kf_valid, kf_parent, W,
+                         newest_loop_rel, max_loop: int = 32):
+        """Standalone essential-graph edge assembly mirroring the slot
+        discipline inside ``correct``'s fused program (loop edge n sits
+        at slot E - max_loop + n; only the NEWEST loop's slot gets the
+        just-verified Sim3).  Used by tests/diagnostics; the production
+        path builds the same edges inside the jitted correction."""
+        li = np.full(max_loop, -1, np.int32)
+        lj = np.full(max_loop, -1, np.int32)
+        for n, ed in enumerate(self.loop_edges[:max_loop]):
+            li[n], lj[n] = ed[0], ed[1]
+        edges = build_essential_edges(
+            pre_sim3, kf_valid, kf_parent, W,
+            jnp.asarray(li), jnp.asarray(lj), max_loop=max_loop)
+        E0 = edges.meas_ji.shape[0] - max_loop
+        new_n = min(len(self.loop_edges) - 1, max_loop - 1)
+        if new_n >= 0:
+            edges = edges._replace(
+                meas_ji=edges.meas_ji.at[E0 + new_n].set(
+                    newest_loop_rel))
+        return edges
 
     # ------------------------------------------------------------------ main
 
     def process_keyframe(self, m: MapState, cur_kf: int, kf_seq: int,
-                         W=None, n_live_kf=None):
+                         W=None, n_live_kf=None, slot_fid=None):
         """Run the full detect -> verify -> correct pipeline for a new
         keyframe.  Returns (map, closed: bool).
 
@@ -498,6 +568,8 @@ class LoopCloser:
         ``n_live_kf``: host-known live KF count (skips a device pull).
         ``self.profile`` records per-stage wall ms into ``stage_ms``."""
         import time as _time
+        if slot_fid is not None:
+            self._slot_fid = slot_fid
         prof = self.profile
         if kf_seq - self.last_loop_kf_seq < 10:   # reference: 10-KF cooldown
             self._push_empty_group(m.max_keyframes)
@@ -517,11 +589,13 @@ class LoopCloser:
         if not ok:
             return m, False
         t0 = _time.perf_counter() if prof else 0.0
-        m = self.correct(m, cur_kf, cand, s_cm, W=W)
+        m, corrected = self.correct(m, cur_kf, cand, s_cm, W=W)
         if prof:
             jax.block_until_ready(m.kf_pose)
             self.stage_ms["loop_correct"] = \
                 (_time.perf_counter() - t0) * 1e3
+        if not corrected:
+            return m, False
         self.last_loop_kf_seq = kf_seq
         return m, True
 

@@ -65,8 +65,8 @@ from active_orb_slam2_tpu.io.trajectory import (
 from active_orb_slam2_tpu.models.frame import build_frame_pipeline
 from active_orb_slam2_tpu.models.map_state import empty_map
 from active_orb_slam2_tpu.models.tracking import (
-    STATS_POSE, STATS_REF_POSE, build_create_keyframe, build_track_step,
-    init_track_state)
+    STATS_POSE, STATS_REF_FID, STATS_REF_POSE, build_create_keyframe,
+    build_track_step, init_track_state)
 
 NOT_INITIALIZED = 0
 OK = 1
@@ -179,6 +179,7 @@ class System:
         self._pending = []               # in-flight frame records
         self._fused = {}                 # per-sensor fused jit steps
         self._stack_fns = {}             # per-size jitted stats stackers
+        self._flag_cache = {}            # device-resident bool scalars
 
         self.frame_id = 0
         self.kf_seq = 0                  # monotone keyframe counter
@@ -189,6 +190,7 @@ class System:
         self.rel_records = []            # (t, ref_kf_slot, Tcr) per frame
         self.kf_records = []             # (t, kf_slot) per keyframe
         self._live_slots = set()         # live KF slots (host mirror)
+        self._slot_fid = {}              # slot -> source frame id (gen tag)
         self.metrics = []                # per-frame dict
 
     # ----------------------------------------------------- state / pipeline
@@ -212,6 +214,7 @@ class System:
         self.rel_records = []
         self.kf_records = []
         self._live_slots = set()
+        self._slot_fid = {}
         self.metrics = []
         self._pending = []
         if self.loop_closer is not None:
@@ -234,6 +237,13 @@ class System:
         self._seal_stats_batch()
         while self._pending:
             self._retire(len(self._pending))
+
+    def _flag(self, b):
+        """Device-resident cached bool scalar (see _dispatch_track)."""
+        key = bool(b)
+        if key not in self._flag_cache:
+            self._flag_cache[key] = jax.device_put(jnp.asarray(key))
+        return self._flag_cache[key]
 
     def _fused_step(self, kind):
         """(host inputs..., map, track) -> (frame, track', stats, map')
@@ -350,10 +360,17 @@ class System:
                     self._register_keyframe(kf_slot, e["ts"],
                                             e["frame_id"], n_inliers)
             # a frame can retire AFTER its device-side reference KF was
-            # culled (and possibly re-tenanted); record it as an
-            # absolute pose then — composing against a recycled slot
-            # replays a different keyframe's pose (r4 endurance bug)
-            if ref_slot >= 0 and ref_slot not in self._live_slots:
+            # culled — and the slot may already be RE-TENANTED by a new
+            # keyframe, so liveness alone is not enough: the generation
+            # tag (source frame id) must match too, else the replay
+            # would compose against a different keyframe's pose (the
+            # r4 endurance runs replayed km-scale garbage this way).
+            # Degraded records keep their absolute tracked pose.
+            ref_fid = int(s[STATS_REF_FID])
+            gen_ok = (ref_slot >= 0
+                      and ref_slot in self._live_slots
+                      and self._slot_fid.get(ref_slot) == ref_fid)
+            if ref_slot >= 0 and not gen_ok:
                 self.rel_records.append(
                     (e["ts"], -1, np.asarray(pose_np, np.float64)))
             else:
@@ -383,9 +400,12 @@ class System:
                 self.frame_id += 1
                 return self.track.pose
         import time
-        allow_kf = np.bool_(self.use_mapping
-                            and not self.localization_only)
-        loc_mode = np.bool_(self.localization_only)
+        # device-cached flag buffers: a fresh np.bool_ argument would
+        # be a new tiny H2D transfer EVERY frame (each put pays a
+        # tunnel RPC); reusing a committed device scalar costs nothing
+        allow_kf = self._flag(self.use_mapping
+                              and not self.localization_only)
+        loc_mode = self._flag(self.localization_only)
         frame, st, stats, m = self._fused_step(kind)(
             *host_inputs, self.map, self.track, allow_kf, loc_mode)
         self.map, self.track = m, st
@@ -473,6 +493,7 @@ class System:
         k = int(k)
         self.last_kf_slot = k
         self._live_slots.add(k)
+        self._slot_fid[k] = self.frame_id
         self.kf_seq += 1
         self.n_live_kf += 1
         self.last_kf_frame = self.frame_id
@@ -528,6 +549,7 @@ class System:
         self.kf_seq += 1
         self.n_live_kf += 1
         self._live_slots.add(k)
+        self._slot_fid[k] = frame_id
         self.last_kf_slot = k
         self.last_kf_frame = frame_id
         self.last_kf_inliers = n_inliers
@@ -554,7 +576,7 @@ class System:
             pre_pose_k = self.map.kf_pose[k]   # pre-correction snapshot
             self.map, closed = self.loop_closer.process_keyframe(
                 self.map, k, self.kf_seq, W=W,
-                n_live_kf=self.n_live_kf)
+                n_live_kf=self.n_live_kf, slot_fid=self._slot_fid)
             if self.profile_stages:
                 self.stage_ms.update(self.loop_closer.stage_ms)
                 self.loop_closer.stage_ms = {}
@@ -591,6 +613,7 @@ class System:
             return
         self.n_live_kf = max(self.n_live_kf - 1, 0)
         self._live_slots.discard(victim)
+        self._slot_fid.pop(victim, None)
         from active_orb_slam2_tpu.utils import np_se3
         parent_a, vpose_a = host_fetch(
             self.map.kf_parent[victim], self.map.kf_pose[victim])
@@ -720,6 +743,10 @@ class System:
         self.kf_seq = 2
         self.n_live_kf = 2
         self._live_slots.update((0, 1))
+        fid0, fid1 = host_fetch(self.map.kf_frame_id[0],
+                                self.map.kf_frame_id[1])
+        self._slot_fid[0] = int(fid0)
+        self._slot_fid[1] = int(fid1)
         self.last_kf_slot = 1
         self.last_kf_frame = self.frame_id
         self.last_kf_inliers = int(n_pts)
@@ -894,6 +921,9 @@ class System:
         kf_valid = np.asarray(self.map.kf_valid)
         self.n_live_kf = int(kf_valid.sum())
         self._live_slots = set(int(s) for s in np.flatnonzero(kf_valid))
+        fids_all = np.asarray(self.map.kf_frame_id)
+        self._slot_fid = {int(s): int(fids_all[s])
+                          for s in self._live_slots}
         if self.last_kf_slot >= 0 and kf_valid[self.last_kf_slot]:
             self._last_kf_pose_np = np.asarray(
                 self.map.kf_pose[self.last_kf_slot])

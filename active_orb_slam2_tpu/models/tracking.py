@@ -45,9 +45,13 @@ from active_orb_slam2_tpu.ops.matching import (
 # [3] close tracked         [4] close unmatched      [5] n associations
 # [6] inserted KF slot (-1) [7] reference-KF slot
 # [8:15] frame pose Tcw     [15:22] reference-KF pose Tcw
+# [22] reference-KF frame id (generation tag: a slot can be culled AND
+#      recycled while this frame is still in the device pipeline; the
+#      host must not compose the record against the new tenant's pose)
 STATS_POSE = slice(8, 15)
 STATS_REF_POSE = slice(15, 22)
-STATS_LEN = 22
+STATS_REF_FID = 22
+STATS_LEN = 23
 
 
 class TrackState(NamedTuple):
@@ -404,7 +408,8 @@ def build_track_step(cfg: SlamConfig, local_cand: int = 2048):
             (assoc >= 0).sum().astype(jnp.float32),
             kf_slot.astype(jnp.float32),
             new_st.last_kf_slot.astype(jnp.float32),
-        ]), pose, m_out.kf_pose[ref_slot]])
+        ]), pose, m_out.kf_pose[ref_slot],
+            m_out.kf_frame_id[ref_slot].astype(jnp.float32)[None]])
         return new_st, stats, m_out
 
     return track_step

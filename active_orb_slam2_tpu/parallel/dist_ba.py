@@ -304,6 +304,18 @@ def _ba_loop(cam, poses, kf_valid, points, pt_valid, e, fixed_mask,
              iters, cg_iters, lam0, psum_axis=None):
     fixed = fixed_mask | ~kf_valid
     inlier = e.valid & pt_valid[:, None]
+    # under-constrained guard: a camera with too few surviving edges
+    # has a near-singular 6x6 block — the damped solve then launches it
+    # kilometres away (finite, so a NaN guard never fires; the r4
+    # endurance replay hit 1347 m ATE through keyframes whose points
+    # had all been culled between insertions and the closure GBA).
+    # The local BA pins such cameras (local_mapping.py); do the same.
+    K = poses.shape[0]
+    cnt = jnp.zeros((K,), jnp.int32).at[e.cam.ravel()].add(
+        inlier.ravel().astype(jnp.int32))
+    if psum_axis is not None:
+        cnt = jax.lax.psum(cnt, psum_axis)
+    fixed = fixed | (cnt < 12)
 
     def body(carry, _):
         poses, points, lam, _ = carry
