@@ -260,10 +260,29 @@ def make_cull_body(cfg: SlamConfig, redundancy: float = 0.9,
         kfp = m.kf_point.at[victim].set(
             jnp.where(do, jnp.full((m.n_features,), -1, jnp.int32),
                       m.kf_point[victim]))
-        # re-parent children onto the victim's parent
+        # re-parent children onto their most covisible LIVE keyframe
+        # (the reference's SetBadFlag candidate search,
+        # src/KeyFrame.cc ~L350-420 [U]).  Re-pointing them at the
+        # victim's stored parent — which may itself be dead or a
+        # RECYCLED slot — fragmented the spanning tree under heavy
+        # recycling, so essential-graph corrections stopped propagating
+        # (the r4 tour endurance drifted to metre-scale ATE this way).
+        live_after = kf_valid
+        cand_W = jnp.where(live_after[None, :], W, -1)
+        cand_W = cand_W - jnp.eye(K, dtype=cand_W.dtype) * (10**9)
+        best = jnp.argmax(cand_W, axis=1).astype(jnp.int32)   # [K]
+        best_ok = jnp.take_along_axis(
+            cand_W, best[:, None], axis=1)[:, 0] > 0
         vparent = m.kf_parent[victim]
+        vp_live = (vparent >= 0) & live_after[jnp.clip(vparent, 0)]
+        fallback = jnp.where(vp_live, vparent, anchor.astype(jnp.int32))
+        newp = jnp.where(best_ok, best, fallback)
         new_parent = jnp.where(
-            do & (m.kf_parent == victim), vparent, m.kf_parent)
+            do & (m.kf_parent == victim), newp, m.kf_parent)
+        # the anchor itself stays a root if it was the victim's child
+        new_parent = new_parent.at[anchor].set(
+            jnp.where(new_parent[anchor] == anchor, -1,
+                      new_parent[anchor]))
         return m._replace(kf_valid=kf_valid, kf_point=kfp,
                           kf_parent=new_parent), \
             jnp.where(do, victim, -1).astype(jnp.int32)

@@ -191,6 +191,7 @@ class System:
         self.kf_records = []             # (t, kf_slot) per keyframe
         self._live_slots = set()         # live KF slots (host mirror)
         self._slot_fid = {}              # slot -> source frame id (gen tag)
+        self._cull_redirect = {}         # (slot, fid) -> (parent, T_vp, pfid)
         self.metrics = []                # per-frame dict
 
     # ----------------------------------------------------- state / pipeline
@@ -215,6 +216,7 @@ class System:
         self.kf_records = []
         self._live_slots = set()
         self._slot_fid = {}
+        self._cull_redirect = {}
         self.metrics = []
         self._pending = []
         if self.loop_closer is not None:
@@ -365,14 +367,43 @@ class System:
             # tag (source frame id) must match too, else the replay
             # would compose against a different keyframe's pose (the
             # r4 endurance runs replayed km-scale garbage this way).
-            # Degraded records keep their absolute tracked pose.
+            # Mismatched records walk the cull-redirect lineage to a
+            # live ancestor (freezing them in stale coordinates instead
+            # left metre-scale errors after later loop corrections).
             ref_fid = int(s[STATS_REF_FID])
             gen_ok = (ref_slot >= 0
                       and ref_slot in self._live_slots
                       and self._slot_fid.get(ref_slot) == ref_fid)
             if ref_slot >= 0 and not gen_ok:
-                self.rel_records.append(
-                    (e["ts"], -1, np.asarray(pose_np, np.float64)))
+                from active_orb_slam2_tpu.utils import np_se3
+                tcr = np_se3.se3_compose(
+                    np.asarray(pose_np, np.float64),
+                    np_se3.se3_inverse(
+                        np.asarray(ref_pose_np, np.float64)))
+                slot, fid = ref_slot, ref_fid
+                hops = 0
+                for _hop in range(64):       # bounded lineage walk
+                    nxt = self._cull_redirect.get((slot, fid))
+                    if nxt is None:
+                        break
+                    p, t_vp, pfid = nxt
+                    tcr = np_se3.se3_compose(tcr, t_vp)
+                    slot, fid = p, pfid
+                    hops += 1
+                    if slot < 0:
+                        break
+                ok_end = (slot >= 0 and slot in self._live_slots
+                          and self._slot_fid.get(slot) == fid)
+                if ok_end:
+                    self.rel_records.append((e["ts"], slot, tcr))
+                elif hops > 0 and slot < 0:
+                    # lineage ended in an absolute repoint: tcr already
+                    # composes to a world pose at cull time
+                    self.rel_records.append((e["ts"], -1, tcr))
+                else:
+                    # no lineage info: freeze at the tracked pose
+                    self.rel_records.append(
+                        (e["ts"], -1, np.asarray(pose_np, np.float64)))
             else:
                 self._record_frame(e["ts"], pose_np,
                                    ref=ref_slot if ref_slot >= 0 else None,
@@ -613,7 +644,7 @@ class System:
             return
         self.n_live_kf = max(self.n_live_kf - 1, 0)
         self._live_slots.discard(victim)
-        self._slot_fid.pop(victim, None)
+        victim_fid = self._slot_fid.pop(victim, None)
         from active_orb_slam2_tpu.utils import np_se3
         parent_a, vpose_a = host_fetch(
             self.map.kf_parent[victim], self.map.kf_pose[victim])
@@ -631,11 +662,22 @@ class System:
                 (t, parent, np_se3.se3_compose(tcr, t_vp))
                 if ref == victim else (t, ref, tcr)
                 for (t, ref, tcr) in self.rel_records]
+            # in-flight frames referencing this (slot, generation) will
+            # retire AFTER the slot may have been re-tenanted; record
+            # the repoint so they can follow the same lineage instead
+            # of freezing in stale coordinates (the frozen records kept
+            # pre-correction poses and dominated endurance ATE)
+            if victim_fid is not None:
+                self._cull_redirect[(victim, victim_fid)] = (
+                    parent, t_vp, self._slot_fid.get(parent))
         else:
             self.rel_records = [
                 (t, -1, np_se3.se3_compose(tcr, vpose))
                 if ref == victim else (t, ref, tcr)
                 for (t, ref, tcr) in self.rel_records]
+            if victim_fid is not None:
+                self._cull_redirect[(victim, victim_fid)] = (
+                    -1, vpose, None)
         self.kf_records = [r for r in self.kf_records if r[1] != victim]
 
     def _record_frame(self, timestamp, pose_np, ref=None, ref_pose=None):
@@ -924,6 +966,7 @@ class System:
         fids_all = np.asarray(self.map.kf_frame_id)
         self._slot_fid = {int(s): int(fids_all[s])
                           for s in self._live_slots}
+        self._cull_redirect = {}
         if self.last_kf_slot >= 0 and kf_valid[self.last_kf_slot]:
             self._last_kf_pose_np = np.asarray(
                 self.map.kf_pose[self.last_kf_slot])

@@ -34,7 +34,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 
 def pct(xs, q):
     import numpy as np
-    return round(float(np.percentile(np.asarray(xs), q)), 2) if xs else None
+    a = np.asarray(xs)
+    return round(float(np.percentile(a, q)), 3) if a.size else None
 
 
 def main():
@@ -150,10 +151,25 @@ def main():
 
     _, poses = slam.frame_trajectory()
     est = camera_centers(poses)
-    *_, rmse = umeyama_alignment(jnp.asarray(est),
-                                 jnp.asarray(np.stack(gt)),
-                                 fix_scale=True)
+    gt_np = np.stack(gt)
+    aligned, *_, rmse = umeyama_alignment(jnp.asarray(est),
+                                          jnp.asarray(gt_np),
+                                          fix_scale=True)
     ate = float(rmse)
+    frame_err = np.linalg.norm(np.asarray(aligned) - gt_np, axis=1)
+    # keyframe-trajectory ATE separates MAP quality from per-frame
+    # REPLAY quality (replay bugs dominated the early r4 runs)
+    kf_ts, kf_poses = slam.keyframe_trajectory()
+    kf_ate = None
+    if len(kf_ts) > 3:
+        kf_est = camera_centers(kf_poses)
+        kf_gt = np.stack([cache[int(round(t * 30)) % args.unique][2]
+                          for t in kf_ts])
+        *_, kf_rmse = umeyama_alignment(jnp.asarray(kf_est),
+                                        jnp.asarray(kf_gt),
+                                        fix_scale=True)
+        kf_ate = round(float(kf_rmse), 4)
+    n_degraded = sum(1 for (_, r, _) in slam.rel_records if r < 0)
     live_final = int(np.asarray(slam.map.kf_valid.sum()))
 
     per_frame_wall = [m["wall_ms"] for m in slam.metrics
@@ -175,6 +191,11 @@ def main():
         "peak_live_points": peak_live_pt,
         "loops_closed": slam.n_loops_closed,
         "ate_rmse_m": round(ate, 4),
+        "kf_ate_rmse_m": kf_ate,
+        "frame_err_p50": pct(frame_err, 50),
+        "frame_err_p95": pct(frame_err, 95),
+        "frame_err_max": round(float(frame_err.max()), 3),
+        "degraded_records": n_degraded,
         "checkpoints_lost": lost_frames,
         "track_wall_ms_p50": pct(per_frame_wall, 50),
         "track_wall_ms_p95": pct(per_frame_wall, 95),

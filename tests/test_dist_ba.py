@@ -1,6 +1,7 @@
 """Distributed BA correctness: sharded result == single-device result
 (SURVEY.md §4: fake 8-device CPU mesh)."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -157,6 +158,7 @@ def test_anchor_block_order_contiguous(rng):
     np.testing.assert_array_equal(perm[inv], np.arange(Pn))
 
 
+@pytest.mark.slow
 def test_distributed_matches_single_device_large_K(rng):
     """Parity at a keyframe count the round-2 dense replicated solve
     could not handle (K = 256 -> S would be [1536, 1536] per shard and
