@@ -269,6 +269,12 @@ def make_cull_body(cfg: SlamConfig, redundancy: float = 0.9,
         # (the r4 tour endurance drifted to metre-scale ATE this way).
         live_after = kf_valid
         cand_W = jnp.where(live_after[None, :], W, -1)
+        # age ordering makes the re-parented tree a DAG by construction
+        # (a child's new parent must be OLDER): best-covis alone could
+        # pick a fellow child or a descendant and create cycles, whose
+        # components the pose graph cannot anchor
+        older = m.kf_frame_id[None, :] < m.kf_frame_id[:, None]
+        cand_W = jnp.where(older, cand_W, -1)
         cand_W = cand_W - jnp.eye(K, dtype=cand_W.dtype) * (10**9)
         best = jnp.argmax(cand_W, axis=1).astype(jnp.int32)   # [K]
         best_ok = jnp.take_along_axis(

@@ -722,15 +722,21 @@ def _apply_sim3_correction(m: MapState, pre_sim3, corrected_scur,
     return m._replace(kf_pose=new_pose, pt_xyz=new_xyz)
 
 
-def _build_fuse(cfg: SlamConfig, n_loop_pts: int = 2048):
+def _build_fuse(cfg: SlamConfig, n_loop_pts: int = 2048,
+                n_group: int = 8):
     cam = cfg.camera
 
     @jax.jit
     def fuse(m: MapState, cur_kf, loop_kf, W):
         """SearchAndFuse (~L340 [U]): project loop-neighbourhood points
-        into the corrected current KF; duplicates replaced globally.
-        ``W`` is the covisibility matrix from the start of the loop
-        event (kf_point is untouched between there and here)."""
+        into the corrected current KF AND its covisible group
+        (mvpCurrentConnectedKFs in the reference — fusing into only the
+        current KF left the revisited regions non-covisible, so the
+        SAME loop re-triggered every cooldown and the repeated
+        corrections churned the map on long runs); duplicates are
+        replaced globally.  ``W`` is the covisibility matrix from the
+        start of the loop event (kf_point untouched between there and
+        here)."""
         K = m.max_keyframes
         loop_group = (W[loop_kf] > 0) | (
             jnp.arange(K) == loop_kf)
@@ -741,46 +747,57 @@ def _build_fuse(cfg: SlamConfig, n_loop_pts: int = 2048):
         cand = jnp.argsort(~loop_pts_mask, stable=True)[:n_loop_pts]
         cand_ok = loop_pts_mask[cand]
 
-        # project into current KF
-        pose = m.kf_pose[cur_kf]
-        uvr, z = project_stereo(cam, se3_apply(pose, m.pt_xyz[cand]))
-        x0, x1, y0, y1 = cam.bounds()
-        inb = ((z > 0.2) & (uvr[:, 0] >= x0) & (uvr[:, 0] < x1)
-               & (uvr[:, 1] >= y0) & (uvr[:, 1] < y1))
-        ok = cand_ok & inb
+        # fuse targets: the current KF + its best covisible group
+        row = jnp.where(m.kf_valid, W[cur_kf], 0).at[cur_kf].set(0)
+        w_n, nbrs = jax.lax.top_k(row, n_group - 1)
+        targets = jnp.concatenate([jnp.array([cur_kf], jnp.int32),
+                                   nbrs.astype(jnp.int32)])
+        t_ok = jnp.concatenate([jnp.array([True]),
+                                (w_n > 0) & m.kf_valid[nbrs]])
 
         from active_orb_slam2_tpu.ops.matching import search_by_projection
-        idx, dist = search_by_projection(
-            uvr[:, :2], jnp.full(cand.shape, 6.0),
-            jnp.zeros(cand.shape, jnp.int32),
-            m.pt_desc[cand], ok,
-            m.kf_uv[cur_kf], m.kf_level[cur_kf], m.kf_desc[cur_kf],
-            m.kf_feat_valid[cur_kf],
-            max_dist=50.0, ratio=1.0, level_window=8)
-        matched = (idx >= 0) & ok
-        feat = jnp.clip(idx, 0)
-        old_pt = m.kf_point[cur_kf][feat]
+        x0, x1, y0, y1 = cam.bounds()
 
-        # replacement map: old current-side point -> loop point
-        rep = jnp.arange(m.max_points, dtype=jnp.int32)
-        dup = matched & (old_pt >= 0) & (old_pt != cand)
-        rep = rep.at[jnp.where(dup, old_pt, 0)].set(
-            jnp.where(dup, cand, rep[jnp.where(dup, old_pt, 0)]))
-        rep = rep.at[0].set(jnp.where(
-            dup[0] & (old_pt[0] == 0), cand[0], rep[0]))
+        def body(carry, inp):
+            kfp, rep, replaced = carry
+            t, ok_t = inp
+            pose = m.kf_pose[t]
+            uvr, z = project_stereo(cam, se3_apply(pose, m.pt_xyz[cand]))
+            inb = ((z > 0.2) & (uvr[:, 0] >= x0) & (uvr[:, 0] < x1)
+                   & (uvr[:, 1] >= y0) & (uvr[:, 1] < y1))
+            ok = cand_ok & inb & ok_t
+            idx, dist = search_by_projection(
+                uvr[:, :2], jnp.full(cand.shape, 6.0),
+                jnp.zeros(cand.shape, jnp.int32),
+                m.pt_desc[cand], ok,
+                m.kf_uv[t], m.kf_level[t], m.kf_desc[t],
+                m.kf_feat_valid[t],
+                max_dist=50.0, ratio=1.0, level_window=8)
+            matched = (idx >= 0) & ok
+            feat = jnp.clip(idx, 0)
+            old_pt = kfp[t][feat]
+            # replacement map: old current-side point -> loop point
+            dup = matched & (old_pt >= 0) & (old_pt != cand)
+            rep = rep.at[jnp.where(dup, old_pt, 0)].set(
+                jnp.where(dup, cand, rep[jnp.where(dup, old_pt, 0)]))
+            replaced = replaced.at[jnp.where(dup, old_pt, 0)].max(dup)
+            # new observations where the feature had no point
+            add = matched & (old_pt < 0)
+            kfp = kfp.at[t, feat].set(
+                jnp.where(add, cand, kfp[t, feat]))
+            return (kfp, rep, replaced), None
+
+        rep0 = jnp.arange(m.max_points, dtype=jnp.int32)
+        (kfp, rep, replaced), _ = jax.lax.scan(
+            body, (m.kf_point, rep0,
+                   jnp.zeros((m.max_points,), bool)),
+            (targets, t_ok))
+        # slot 0 was used as the dummy scatter target for non-dup rows;
+        # only honor its entry if it was genuinely replaced
+        rep = rep.at[0].set(jnp.where(replaced[0], rep[0], 0))
         # apply substitution across the whole forward store
-        kfp = m.kf_point
         kfp = jnp.where(kfp >= 0, rep[jnp.clip(kfp, 0)], kfp)
-        # invalidate replaced points
-        replaced = jnp.zeros((m.max_points,), bool).at[
-            jnp.where(dup, old_pt, 0)].max(dup)
-        replaced = replaced.at[0].set(replaced[0] & dup.any())
         pt_valid = m.pt_valid & ~replaced
-
-        # new observations where the feature had no point
-        add = matched & (old_pt < 0)
-        kfp = kfp.at[cur_kf, feat].set(
-            jnp.where(add, cand, kfp[cur_kf, feat]))
         return m._replace(kf_point=kfp, pt_valid=pt_valid)
 
     return fuse

@@ -88,7 +88,15 @@ def optimize_essential_graph(kf_sim3, edges: Sim3Edges, fixed,
         g = jnp.zeros((K, 7)).at[edges.i].add(gi).at[edges.j].add(gj)
 
         H = Hb.transpose(0, 2, 1, 3).reshape(7 * K, 7 * K)
-        H = H + lam * jnp.diag(jnp.diagonal(H)) + 1e-8 * jnp.eye(7 * K)
+        # the constant diagonal term is a GAUGE PRIOR, not just jitter:
+        # under heavy keyframe recycling the tree+covis edge set can
+        # leave components disconnected from the pinned loop keyframe,
+        # and their global gauge directions are then singular — with a
+        # 1e-8 floor the solve launched such components 1e7 m away
+        # (r4 tour endurance).  1e-3 anchors free vertices softly to
+        # their current estimates (edge-backed entries are O(1..1e3),
+        # so constrained directions are unaffected).
+        H = H + lam * jnp.diag(jnp.diagonal(H)) + 1e-3 * jnp.eye(7 * K)
         rows = jnp.repeat(fixed, 7)
         H = jnp.where(rows[:, None] | rows[None, :], jnp.eye(7 * K), H)
         gv = jnp.where(rows, 0.0, g.reshape(-1))
