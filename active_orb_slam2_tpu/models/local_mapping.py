@@ -351,17 +351,18 @@ def make_fuse_body(cfg: SlamConfig, n_neighbors: int = 8,
             feat = jnp.clip(idx, 0)
             old = kfp[n][feat]
             # duplicate: neighbour feature already tracks another point
-            # -> keep the OLDER (lower slot) of the two
+            # -> keep the OLDER (lower slot) of the two.  Non-dup lanes
+            # scatter to an out-of-range dummy (mode='drop') so they
+            # cannot race a genuine replacement of point 0.
             dup = matched & (old >= 0) & (old != src_pts)
             keep_old = dup & (old < src_pts)
             keep_new = dup & ~keep_old
-            rep = rep.at[jnp.where(keep_new, old, 0)].set(
-                jnp.where(keep_new, src_pts, rep[jnp.where(keep_new, old, 0)]))
-            rep = rep.at[jnp.where(keep_old, src_pts, 0)].set(
-                jnp.where(keep_old, old, rep[jnp.where(keep_old, src_pts, 0)]))
-            replaced = replaced.at[jnp.where(keep_new, old, 0)].max(keep_new)
-            replaced = replaced.at[jnp.where(keep_old, src_pts, 0)].max(
-                keep_old)
+            t_new = jnp.where(keep_new, old, m.max_points)
+            t_old = jnp.where(keep_old, src_pts, m.max_points)
+            rep = rep.at[t_new].set(src_pts, mode="drop")
+            rep = rep.at[t_old].set(old, mode="drop")
+            replaced = replaced.at[t_new].set(True, mode="drop")
+            replaced = replaced.at[t_old].set(True, mode="drop")
             # unmatched feature: add the observation
             add = matched & (old < 0)
             kfp = kfp.at[n, feat].set(jnp.where(add, src_pts, kfp[n, feat]))
@@ -369,6 +370,10 @@ def make_fuse_body(cfg: SlamConfig, n_neighbors: int = 8,
 
         (rep, kfp, replaced), _ = jax.lax.scan(
             body, (rep, kfp, replaced), (nbrs, nbr_ok))
+        # transitive closure over replacement chains built across the
+        # n_neighbors=8 scan steps (see loop_closing._build_fuse)
+        for _ in range(3):
+            rep = rep[rep]
         kfp = jnp.where(kfp >= 0, rep[jnp.clip(kfp, 0)], kfp)
         pt_valid = m.pt_valid & ~replaced
         return m._replace(kf_point=kfp, pt_valid=pt_valid)
@@ -525,7 +530,9 @@ def build_mapping_step(cfg: SlamConfig):
     return mapping_step
 
 
-def build_keyframe_mapping(cfg: SlamConfig, triangulate: bool):
+def build_keyframe_mapping(cfg: SlamConfig, triangulate: bool,
+                           fuse: bool = True, local_ba: bool = True,
+                           cull: bool = True):
     """The WHOLE keyframe-rate mapping pipeline as ONE jitted dispatch:
 
       CreateNewMapPoints (if ``triangulate``) -> SearchInNeighbors ->
@@ -538,11 +545,21 @@ def build_keyframe_mapping(cfg: SlamConfig, triangulate: bool):
     the stages also collapses 4 tunnel dispatches per keyframe into 1
     (the link RTT dominates small dispatches — see ARCHITECTURE.md).
 
-    Returns jitted (m, kf_slot, kf_seq) -> (m', victim, W_out).
+    ``fuse`` / ``local_ba`` / ``cull`` gate individual stages — the
+    endurance bisection harness (scripts/run_endurance.py) uses these
+    to isolate which stage corrupts long runs.
+
+    Returns jitted (m, kf_slot, kf_seq) ->
+    (m', victim, vparent, vpose, W_out).  ``vparent``/``vpose`` are the
+    victim's spanning-tree parent and pose SNAPSHOTTED inside the
+    program: the host processes the cull one event LATER (so it never
+    blocks on the mapping dispatch — r4 verdict item 3), by which time
+    the slot may already be re-tenanted and reading them eagerly would
+    return the new tenant's state.
     """
     create_body = make_create_points_body(cfg)
     fuse_body = make_fuse_body(cfg)
-    map_body = make_mapping_body(cfg)
+    map_body = make_mapping_body(cfg) if local_ba else None
     cull_body = make_cull_body(cfg)
 
     @jax.jit
@@ -550,10 +567,18 @@ def build_keyframe_mapping(cfg: SlamConfig, triangulate: bool):
         W = covisibility_weights(m)
         if triangulate:
             m = create_body(m, kf_slot, kf_seq, W)
-        m = fuse_body(m, kf_slot, W)
-        m = map_body(m, kf_slot, kf_seq, W)
-        m, victim = cull_body(m, kf_slot, W)
+        if fuse:
+            m = fuse_body(m, kf_slot, W)
+        if local_ba:
+            m = map_body(m, kf_slot, kf_seq, W)
+        if cull:
+            m, victim = cull_body(m, kf_slot, W)
+        else:
+            victim = jnp.int32(-1)
+        vc = jnp.clip(victim, 0)
+        vparent = m.kf_parent[vc]
+        vpose = m.kf_pose[vc]
         W_out = covisibility_weights(m)
-        return m, victim, W_out
+        return m, victim, vparent, vpose, W_out
 
     return keyframe_mapping

@@ -191,7 +191,13 @@ class System:
         self.kf_records = []             # (t, kf_slot) per keyframe
         self._live_slots = set()         # live KF slots (host mirror)
         self._slot_fid = {}              # slot -> source frame id (gen tag)
-        self._cull_redirect = {}         # (slot, fid) -> (parent, T_vp, pfid)
+        # (slot, fid) -> (parent, T_vp, pfid, created_frame).  Entries
+        # are path-compressed at cull time and pruned once no in-flight
+        # frame can reference that generation (see _prune_redirects) —
+        # unpruned, this grew one entry per cull forever (r4 advisor).
+        self._cull_redirect = {}
+        self._kf_ins_frames = []         # frame ids of KF insertions
+        self._pending_culls = []         # deferred cull victims (device)
         self.metrics = []                # per-frame dict
 
     # ----------------------------------------------------- state / pipeline
@@ -217,6 +223,8 @@ class System:
         self._live_slots = set()
         self._slot_fid = {}
         self._cull_redirect = {}
+        self._kf_ins_frames = []
+        self._pending_culls = []
         self.metrics = []
         self._pending = []
         if self.loop_closer is not None:
@@ -239,6 +247,7 @@ class System:
         self._seal_stats_batch()
         while self._pending:
             self._retire(len(self._pending))
+        self._process_pending_culls()
 
     def _flag(self, b):
         """Device-resident cached bool scalar (see _dispatch_track)."""
@@ -386,7 +395,7 @@ class System:
                     nxt = self._cull_redirect.get((slot, fid))
                     if nxt is None:
                         break
-                    p, t_vp, pfid = nxt
+                    p, t_vp, pfid = nxt[0], nxt[1], nxt[2]
                     tcr = np_se3.se3_compose(tcr, t_vp)
                     slot, fid = p, pfid
                     hops += 1
@@ -413,6 +422,7 @@ class System:
         # keyframe rate and a full arena would deadlock
         if self.n_live_kf >= self.cfg.map.max_keyframes:
             self._cull_for_space()
+        self._prune_redirects()
 
     def _dispatch_track(self, kind, host_inputs, timestamp):
         """Enqueue one fused frame step; retire a batch if the pipeline
@@ -525,6 +535,7 @@ class System:
         self.last_kf_slot = k
         self._live_slots.add(k)
         self._slot_fid[k] = self.frame_id
+        self._kf_ins_frames.append(self.frame_id)
         self.kf_seq += 1
         self.n_live_kf += 1
         self.last_kf_frame = self.frame_id
@@ -575,17 +586,26 @@ class System:
         NeedNewKeyFrame + CreateNewKeyFrame on device, zero staleness)
         and run the keyframe-rate mapping stages.  All dispatches are
         async — the device queue absorbs them exactly like the
-        reference's background mapping thread."""
+        reference's background mapping thread.
+
+        No stage here blocks on the device: the mapping program's cull
+        victim (with its parent/pose snapshots) is copied asynchronously
+        and processed at the NEXT keyframe event, and the loop closer
+        defers its detect decision the same way — the r4 pipeline
+        stalled ~300-500 ms per keyframe on exactly these fetches."""
         import time as _time
+        # previous event's cull has landed by now; process it BEFORE
+        # the new slot mirrors (the new KF may re-tenant that slot)
+        self._process_pending_culls()
         self.kf_seq += 1
         self.n_live_kf += 1
         self._live_slots.add(k)
         self._slot_fid[k] = frame_id
+        self._kf_ins_frames.append(frame_id)
         self.last_kf_slot = k
         self.last_kf_frame = frame_id
         self.last_kf_inliers = n_inliers
         self.kf_records.append((timestamp, k))
-        victim = None
         W = None
         if self.use_mapping:
             # the fused keyframe-rate mapping program: triangulation +
@@ -593,16 +613,20 @@ class System:
             # in ONE dispatch, covisibility computed once (round-3
             # verdict item 1); W_out feeds loop detection below
             t0 = _time.perf_counter() if self.profile_stages else 0.0
-            self.map, victim, W = self.keyframe_mapping(
+            self.map, victim, vparent, vpose, W = self.keyframe_mapping(
                 self.map, k, self.kf_seq)
             if self.profile_stages:
                 jax.block_until_ready(W)
                 self.stage_ms["mapping"] = \
                     (_time.perf_counter() - t0) * 1e3
+            for a in (victim, vparent, vpose):
+                try:
+                    a.copy_to_host_async()
+                except (AttributeError, NotImplementedError):
+                    pass
+            self._pending_culls.append(
+                {"victim": victim, "parent": vparent, "pose": vpose})
         if self.loop_closer is not None:
-            if victim is not None:
-                self._on_keyframe_culled(int(host_fetch(victim)))
-                victim = None
             self.loop_closer.profile = self.profile_stages
             pre_pose_k = self.map.kf_pose[k]   # pre-correction snapshot
             self.map, closed = self.loop_closer.process_keyframe(
@@ -621,10 +645,20 @@ class System:
                 self.track = self.track._replace(
                     pose=_rebase_pose(self.track.pose, pre_pose_k,
                                       self.map.kf_pose[k]))
-        if victim is not None:
-            self._on_keyframe_culled(int(host_fetch(victim)))
 
-    def _on_keyframe_culled(self, victim: int):
+    def _process_pending_culls(self):
+        """Retire landed cull victims from earlier keyframe events
+        (host bookkeeping only; the device-side eviction already
+        happened inside the mapping program)."""
+        while self._pending_culls:
+            e = self._pending_culls.pop(0)
+            v = int(host_fetch(e["victim"]))
+            if v >= 0:
+                self._on_keyframe_culled(
+                    v, parent=int(host_fetch(e["parent"])),
+                    vpose=np.asarray(host_fetch(e["pose"]), np.float64))
+
+    def _on_keyframe_culled(self, victim: int, parent=None, vpose=None):
         """Culled slots are recycled by later keyframes, so repoint any
         per-frame relative-pose records referencing the victim onto its
         spanning-tree parent (the reference's SaveTrajectoryTUM walks
@@ -646,10 +680,13 @@ class System:
         self._live_slots.discard(victim)
         victim_fid = self._slot_fid.pop(victim, None)
         from active_orb_slam2_tpu.utils import np_se3
-        parent_a, vpose_a = host_fetch(
-            self.map.kf_parent[victim], self.map.kf_pose[victim])
-        parent = int(parent_a)
-        vpose = np.asarray(vpose_a, np.float64)
+        if parent is None or vpose is None:
+            # eager fallback (forced-eviction path): slot cannot have
+            # been re-tenanted yet, reading the live arena is safe
+            parent_a, vpose_a = host_fetch(
+                self.map.kf_parent[victim], self.map.kf_pose[victim])
+            parent = int(parent_a)
+            vpose = np.asarray(vpose_a, np.float64)
         if parent < 0 or parent not in self._live_slots:
             # no live parent: fall back to the newest live keyframe
             parent = self.last_kf_slot \
@@ -668,17 +705,55 @@ class System:
             # of freezing in stale coordinates (the frozen records kept
             # pre-correction poses and dominated endurance ATE)
             if victim_fid is not None:
-                self._cull_redirect[(victim, victim_fid)] = (
-                    parent, t_vp, self._slot_fid.get(parent))
+                self._add_redirect(victim, victim_fid, parent, t_vp,
+                                   self._slot_fid.get(parent))
         else:
             self.rel_records = [
                 (t, -1, np_se3.se3_compose(tcr, vpose))
                 if ref == victim else (t, ref, tcr)
                 for (t, ref, tcr) in self.rel_records]
             if victim_fid is not None:
-                self._cull_redirect[(victim, victim_fid)] = (
-                    -1, vpose, None)
+                self._add_redirect(victim, victim_fid, -1, vpose, None)
         self.kf_records = [r for r in self.kf_records if r[1] != victim]
+
+    def _add_redirect(self, victim, victim_fid, parent, t_vp, pfid):
+        """Record a cull redirect and path-compress every existing
+        entry pointing at the victim's generation, so chains stay one
+        hop and pruning one entry never breaks another's lineage."""
+        from active_orb_slam2_tpu.utils import np_se3
+        self._cull_redirect[(victim, victim_fid)] = (
+            parent, t_vp, pfid, self.frame_id)
+        vkey = (victim, victim_fid)
+        for key, (p, t, pf, cf) in list(self._cull_redirect.items()):
+            if key != vkey and (p, pf) == vkey:
+                self._cull_redirect[key] = (
+                    parent, np_se3.se3_compose(t, t_vp), pfid, cf)
+
+    def _prune_redirects(self):
+        """Drop redirect entries no in-flight frame can reference: a
+        frame dispatched at frame d carries the device reference KF
+        inserted most recently before d, so entry (slot, fid) is dead
+        once a NEWER keyframe insertion (frame f > fid) has itself been
+        fully retired past (oldest pending frame id > f)."""
+        if not self._cull_redirect:
+            return
+        oldest_pending = (self._pending[0]["frame_id"]
+                          if self._pending else self.frame_id)
+        # newest insertion frame already strictly before every pending
+        # frame; entries whose generation predates it are unreachable
+        cutoff = None
+        for f in reversed(self._kf_ins_frames):
+            if f < oldest_pending:
+                cutoff = f
+                break
+        if cutoff is None:
+            return
+        for key in [k for k, v in self._cull_redirect.items()
+                    if k[1] < cutoff and v[3] < oldest_pending]:
+            del self._cull_redirect[key]
+        # the insertion-frame list only needs entries >= cutoff
+        self._kf_ins_frames = [f for f in self._kf_ins_frames
+                               if f >= cutoff]
 
     def _record_frame(self, timestamp, pose_np, ref=None, ref_pose=None):
         """Store Tcr relative to the reference KF.
@@ -789,6 +864,7 @@ class System:
                                 self.map.kf_frame_id[1])
         self._slot_fid[0] = int(fid0)
         self._slot_fid[1] = int(fid1)
+        self._kf_ins_frames.extend([int(fid0), int(fid1)])
         self.last_kf_slot = 1
         self.last_kf_frame = self.frame_id
         self.last_kf_inliers = int(n_pts)
@@ -967,6 +1043,8 @@ class System:
         self._slot_fid = {int(s): int(fids_all[s])
                           for s in self._live_slots}
         self._cull_redirect = {}
+        self._kf_ins_frames = []
+        self._pending_culls = []
         if self.last_kf_slot >= 0 and kf_valid[self.last_kf_slot]:
             self._last_kf_pose_np = np.asarray(
                 self.map.kf_pose[self.last_kf_slot])
