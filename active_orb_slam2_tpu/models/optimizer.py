@@ -410,6 +410,17 @@ def bundle_adjustment(cam: CameraParams, poses0, points0, e: BAEdges,
       poses0 [Lt, 7]; points0 [Pl, 3]; fixed_cam [Lt] bool (the
       reference's fixed-KF ring); e: edge list.
     """
+    with jax.default_matmul_precision("highest"):
+        # f32 precision is load-bearing for the LM steps on TPU (the
+        # default bf16 matmul path stalls convergence — see
+        # parallel/dist_ba.py, r5 on-chip dissection)
+        return _bundle_adjustment(cam, poses0, points0, e, fixed_cam,
+                                  iters_a, iters_b)
+
+
+def _bundle_adjustment(cam: CameraParams, poses0, points0, e: BAEdges,
+                       fixed_cam, iters_a: int = 5, iters_b: int = 10
+                       ) -> BAResult:
     chi2_th = jnp.where(e.has_stereo, CHI2_STEREO, CHI2_MONO)
 
     def lm_iters(poses, points, inliers, n, use_huber):

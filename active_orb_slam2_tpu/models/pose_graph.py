@@ -45,6 +45,16 @@ def optimize_essential_graph(kf_sim3, edges: Sim3Edges, fixed,
       kf_sim3 [K, 8]; fixed [K] bool (reference fixes the loop KF).
     Returns (optimized [K, 8], final chi2).
     """
+    with jax.default_matmul_precision("highest"):
+        # the [7K, 7K] dense solve is conditioning-sensitive; the TPU
+        # default bf16 matmul path degrades the LM steps (see
+        # parallel/dist_ba.py — same r5 on-chip finding)
+        return _optimize_essential_graph(kf_sim3, edges, fixed, iters,
+                                         lam0)
+
+
+def _optimize_essential_graph(kf_sim3, edges: Sim3Edges, fixed,
+                              iters: int = 20, lam0: float = 1e-6):
     K = kf_sim3.shape[0]
     zero = jnp.zeros(7)
 

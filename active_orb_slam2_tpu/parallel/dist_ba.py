@@ -302,6 +302,20 @@ def _chi2_only(cam, poses, points, e, inlier, psum_axis=None):
 
 def _ba_loop(cam, poses, kf_valid, points, pt_valid, e, fixed_mask,
              iters, cg_iters, lam0, psum_axis=None):
+    # f32 MXU precision is load-bearing: at the TPU default (bf16
+    # inputs) the Schur PCG stalls — the r5 on-chip dissection measured
+    # post-closure chi2 converging 19.3 -> 2.4 and flatlining at
+    # default vs 19.3 -> 0.90 at highest (matching CPU bit-for-bit
+    # behavior).  BA here is dispatch-bound, not FLOPs-bound
+    # (ba_mfu ~0.1%), so the precision costs no measurable wall time.
+    with jax.default_matmul_precision("highest"):
+        return _ba_loop_body(cam, poses, kf_valid, points, pt_valid, e,
+                             fixed_mask, iters, cg_iters, lam0,
+                             psum_axis)
+
+
+def _ba_loop_body(cam, poses, kf_valid, points, pt_valid, e, fixed_mask,
+                  iters, cg_iters, lam0, psum_axis=None):
     fixed = fixed_mask | ~kf_valid
     inlier = e.valid & pt_valid[:, None]
     # under-constrained guard: a camera with too few surviving edges
