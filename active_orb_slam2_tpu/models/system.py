@@ -263,6 +263,9 @@ class System:
         if kind in self._fused:
             return self._fused[kind]
         track_step = self.track_step
+        # the caller-facing Tcw 4x4 is produced INSIDE the fused step:
+        # a separate _to_mat44 dispatch per frame paid the tunnel's
+        # per-dispatch host overhead (~1-4 ms) for a 16-float transform
         if kind == "rgbd":
             make = self.make_rgbd.packed
 
@@ -270,7 +273,7 @@ class System:
                 frame, _ = make(packed)
                 st2, stats, m2 = track_step(m, frame, st, allow_kf,
                                             loc_mode)
-                return frame, st2, stats, m2
+                return frame, st2, stats, m2, se3_to_mat44(st2.pose)
         elif kind == "mono":
             make_mono = self.make_mono
 
@@ -278,7 +281,7 @@ class System:
                 frame, _ = make_mono(image)
                 st2, stats, m2 = track_step(m, frame, st, allow_kf,
                                             loc_mode)
-                return frame, st2, stats, m2
+                return frame, st2, stats, m2, se3_to_mat44(st2.pose)
         else:                            # stereo
             make_stereo = self._get_make_stereo()
 
@@ -286,7 +289,7 @@ class System:
                 frame, _ = make_stereo(left, right)
                 st2, stats, m2 = track_step(m, frame, st, allow_kf,
                                             loc_mode)
-                return frame, st2, stats, m2
+                return frame, st2, stats, m2, se3_to_mat44(st2.pose)
         self._fused[kind] = jax.jit(fused)
         return self._fused[kind]
 
@@ -439,7 +442,7 @@ class System:
                 self._record_frame(
                     timestamp, np.asarray(self.track.pose))
                 self.frame_id += 1
-                return self.track.pose
+                return _to_mat44(jnp.asarray(self.track.pose))
         import time
         # device-cached flag buffers: a fresh np.bool_ argument would
         # be a new tiny H2D transfer EVERY frame (each put pays a
@@ -447,7 +450,7 @@ class System:
         allow_kf = self._flag(self.use_mapping
                               and not self.localization_only)
         loc_mode = self._flag(self.localization_only)
-        frame, st, stats, m = self._fused_step(kind)(
+        frame, st, stats, m, mat44 = self._fused_step(kind)(
             *host_inputs, self.map, self.track, allow_kf, loc_mode)
         self.map, self.track = m, st
         self._pending.append({
@@ -474,7 +477,7 @@ class System:
         if len(self._pending) >= self.pipeline_depth + self.retire_batch:
             self._retire(self.retire_batch)
         self.frame_id += 1
-        return st.pose
+        return mat44
 
     def _reloc_from_inputs(self, kind, host_inputs) -> bool:
         """Synchronous relocalization attempt (rare path)."""
@@ -513,9 +516,8 @@ class System:
             frame, n_depth = self.make_rgbd.packed(packed)
             pose = self._initialize(frame, int(n_depth), timestamp)
             self.frame_id += 1
-        else:
-            pose = self._dispatch_track("rgbd", (packed,), timestamp)
-        return _to_mat44(jnp.asarray(pose))
+            return _to_mat44(jnp.asarray(pose))
+        return self._dispatch_track("rgbd", (packed,), timestamp)
 
     def _initialize(self, frame, n_depth, timestamp):
         """StereoInitialization (``src/Tracking.cc`` ~L510 [U]): first
@@ -796,9 +798,8 @@ class System:
             frame, n_depth = self._get_make_stereo()(l, r)
             pose = self._initialize(frame, int(n_depth), timestamp)
             self.frame_id += 1
-        else:
-            pose = self._dispatch_track("stereo", (l, r), timestamp)
-        return _to_mat44(jnp.asarray(pose))
+            return _to_mat44(jnp.asarray(pose))
+        return self._dispatch_track("stereo", (l, r), timestamp)
 
     # ------------------------------------------------------------ monocular
 
@@ -811,9 +812,8 @@ class System:
             frame, _ = self.make_mono(g)
             pose = self._initialize_mono(frame, timestamp)
             self.frame_id += 1
-        else:
-            pose = self._dispatch_track("mono", (g,), timestamp)
-        return _to_mat44(jnp.asarray(pose))
+            return _to_mat44(jnp.asarray(pose))
+        return self._dispatch_track("mono", (g,), timestamp)
 
     def _initialize_mono(self, frame, timestamp):
         """MonocularInitialization (~L570 [U]): H/F race vs a reference

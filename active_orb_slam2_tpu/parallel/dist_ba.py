@@ -238,6 +238,46 @@ def _pcg(matvec, Minv, b, iters: int):
     return x
 
 
+def _assemble_schur_dense(Hcc_d, A, Hpp_inv, e: PointEdges, free,
+                          chunk: int = 4096):
+    """Materialize the reduced camera system S = Hcc_d - A Hpp^-1 A^T
+    as a dense [6K, 6K] matrix (single-device path).
+
+    TPU-first rationale: the matrix-free PCG spends ~10 thin HLO ops
+    per CG iteration — on this dispatch-bound backend that is
+    ~11 ms/iteration regardless of FLOPs (r4 bench).  For K <= ~1k
+    cameras the dense Schur fits easily (37 MB at K=512) and turns the
+    whole solve into a handful of FAT einsums plus one MXU-saturating
+    factorization — the g2o BlockSolver_6_3 strategy, reshaped for a
+    matrix unit.  Invalid observations carry zero A-blocks, so no
+    masking is needed; their scatter lands harmlessly at (0, 0).
+    """
+    K = Hcc_d.shape[0]
+    Pn, O = e.cam.shape
+    AH = jnp.einsum('poij,pjk->poik', A, Hpp_inv)      # [P,O,6,3]
+    n_chunks = max(Pn // chunk, 1)
+    csize = Pn // n_chunks
+
+    def body(S, c):
+        def sl(x):
+            return jax.lax.dynamic_slice_in_dim(x, c * csize, csize, 0)
+        Ab, AHb, camb = sl(A), sl(AH), sl(e.cam)
+        # S_pab[i,l] = sum_k AH[p,a,i,k] * A[p,b,l,k]
+        T = jnp.einsum('paik,pblk->pabil', AHb, Ab)    # [C,O,O,6,6]
+        idx = camb[:, :, None] * K + camb[:, None, :]  # [C,O,O]
+        return S.at[idx.ravel()].add(T.reshape(-1, 6, 6)), None
+
+    S0 = jnp.zeros((K * K, 6, 6))
+    S, _ = jax.lax.scan(body, S0, jnp.arange(n_chunks))
+    S = S.reshape(K, K, 6, 6)
+    M = -S
+    M = M.at[jnp.arange(K), jnp.arange(K)].add(Hcc_d)
+    M = M.transpose(0, 2, 1, 3).reshape(6 * K, 6 * K)
+    rows = jnp.repeat(~free, 6)
+    M = jnp.where(rows[:, None] | rows[None, :], jnp.eye(6 * K), M)
+    return M
+
+
 def _back_substitute(Hpp_inv, bp, A, e: PointEdges, dc_blocks):
     """dp = Hpp_inv (bp - sum_o A[p,o]^T dc[cam[p,o]]) — shard-local."""
     dce = dc_blocks[e.cam]                                 # [Pn, O, 6]
@@ -259,9 +299,11 @@ def _precond_inv(Hcc_damped, D, free):
 
 
 def _lm_iteration(cam, poses, points, e, inlier, fixed, lam,
-                  cg_iters: int, psum_axis=None):
-    """One damped GN step: linearize, psum reduced quantities, PCG,
-    back-substitute.  Returns (new_poses, new_points, chi2_old)."""
+                  cg_iters: int, psum_axis=None, dense: bool = False):
+    """One damped GN step: linearize, psum reduced quantities, solve
+    the reduced camera system (dense Cholesky-style solve or
+    matrix-free PCG), back-substitute.
+    Returns (new_poses, new_points, chi2_old)."""
     free = ~fixed
     Hcc, g, D, Hpp_inv, bp, A, chi2 = _linearize(
         cam, poses, points, e, inlier, lam)
@@ -274,10 +316,19 @@ def _lm_iteration(cam, poses, points, e, inlier, fixed, lam,
     eye6 = jnp.eye(6)
     Hcc_d = Hcc + lam * Hcc * eye6 + 1e-8 * eye6
     g = g * free[:, None]
-    Minv = _precond_inv(Hcc_d, D, free)
-    matvec = lambda x: _schur_matvec(x, Hcc_d, A, Hpp_inv, e, free,
-                                     psum_axis)
-    dc = _pcg(matvec, Minv, g, cg_iters)
+    if dense and psum_axis is None:
+        from jax.scipy.linalg import cho_factor, cho_solve
+        M = _assemble_schur_dense(Hcc_d, A, Hpp_inv, e, free)
+        # Cholesky, not LU: the damped Schur system is symmetric PD and
+        # cho_solve measures 2.4x faster than the pivoted LU on this
+        # backend (2.7 vs 6.4 ms at [3072, 3072])
+        dc = cho_solve(cho_factor(M, lower=True),
+                       g.reshape(-1)).reshape(-1, 6).astype(poses.dtype)
+    else:
+        Minv = _precond_inv(Hcc_d, D, free)
+        matvec = lambda x: _schur_matvec(x, Hcc_d, A, Hpp_inv, e, free,
+                                         psum_axis)
+        dc = _pcg(matvec, Minv, g, cg_iters)
     dc_blocks = dc * free[:, None]
     new_poses = _apply_cam_solution(poses, dc_blocks.reshape(-1))
     dp = _back_substitute(Hpp_inv, bp, A, e, dc_blocks)
@@ -301,7 +352,8 @@ def _chi2_only(cam, poses, points, e, inlier, psum_axis=None):
 
 
 def _ba_loop(cam, poses, kf_valid, points, pt_valid, e, fixed_mask,
-             iters, cg_iters, lam0, psum_axis=None):
+             iters, cg_iters, lam0, psum_axis=None,
+             dense: bool = False):
     # f32 MXU precision is load-bearing: at the TPU default (bf16
     # inputs) the Schur PCG stalls — the r5 on-chip dissection measured
     # post-closure chi2 converging 19.3 -> 2.4 and flatlining at
@@ -311,11 +363,12 @@ def _ba_loop(cam, poses, kf_valid, points, pt_valid, e, fixed_mask,
     with jax.default_matmul_precision("highest"):
         return _ba_loop_body(cam, poses, kf_valid, points, pt_valid, e,
                              fixed_mask, iters, cg_iters, lam0,
-                             psum_axis)
+                             psum_axis, dense)
 
 
 def _ba_loop_body(cam, poses, kf_valid, points, pt_valid, e, fixed_mask,
-                  iters, cg_iters, lam0, psum_axis=None):
+                  iters, cg_iters, lam0, psum_axis=None,
+                  dense: bool = False):
     fixed = fixed_mask | ~kf_valid
     inlier = e.valid & pt_valid[:, None]
     # under-constrained guard: a camera with too few surviving edges
@@ -335,7 +388,7 @@ def _ba_loop_body(cam, poses, kf_valid, points, pt_valid, e, fixed_mask,
         poses, points, lam, _ = carry
         new_poses, dp, chi2_old = _lm_iteration(
             cam, poses, points, e, inlier, fixed, lam, cg_iters,
-            psum_axis)
+            psum_axis, dense=dense)
         new_points = points + dp * pt_valid[:, None]
         chi2_new = _chi2_only(cam, new_poses, new_points, e, inlier,
                               psum_axis)
@@ -356,16 +409,23 @@ def _ba_loop_body(cam, poses, kf_valid, points, pt_valid, e, fixed_mask,
 def global_ba(cam: CameraParams, poses, kf_valid, points, pt_valid,
               e: PointEdges, fixed_mask, iters: int = 10,
               max_obs: int = 16, lam0: float = 1e-4,
-              cg_iters: int = 48):
-    """Single-device point-major global BA (GlobalBundleAdjustemnt [U])
-    with the same matrix-free Schur PCG as the sharded path.
+              cg_iters: int = 48, dense: bool = False):
+    """Single-device point-major global BA (GlobalBundleAdjustemnt [U]).
+
+    ``dense=True`` materializes the reduced camera system and solves
+    it exactly with one fat MXU factorization per LM iteration
+    (:func:`_assemble_schur_dense`) — the fast single-chip path for
+    K <= ~1k cameras.  ``dense=False`` keeps the matrix-free Schur PCG
+    identical to the sharded path (the sharded-vs-single equivalence
+    tests rely on this).
 
     fixed_mask [K] bool — cameras pinned (reference fixes KF 0).
     Returns (poses, points, chi2).
     """
     del max_obs  # edge cap is set at build_point_major_edges time
     return _ba_loop(cam, poses, kf_valid, points, pt_valid, e,
-                    fixed_mask, iters, cg_iters, lam0, psum_axis=None)
+                    fixed_mask, iters, cg_iters, lam0, psum_axis=None,
+                    dense=dense)
 
 
 def build_distributed_ba(mesh: Mesh, cam: CameraParams, iters: int = 10,

@@ -164,7 +164,10 @@ def stereo_kitti_shape(System, SlamConfig, OrbConfig, TrackingConfig,
                                 kf_max_interval=8),
         map=MapConfig())
     world = default_world(n_boxes=0)
-    n = 60
+    # 150 frames around the circuit = 2.4 deg/frame peak yaw — the
+    # KITTI-like turn rate (60 frames = 6 deg/frame pushed ~74 px of
+    # rotation flow at fx=707, beyond any projection search radius)
+    n = 150
     traj = loop_trajectory(n, radius=2.5)
     _lap(f"stereo KITTI-shape: rendering {n} stereo pairs at {w}x{h}")
     pairs = []
@@ -179,11 +182,11 @@ def stereo_kitti_shape(System, SlamConfig, OrbConfig, TrackingConfig,
                       np.clip(gr, 0, 255).astype(np.uint8)))
         gt.append(Twc[:3, 3].copy())
     slam = System(cfg, use_mapping=True, use_loop_closing=True)
-    warm = n - 20
+    warm = n - 30
     for i in range(warm):
         l, r = pairs[i]
         slam.track_stereo(l, r, i / 10.0)
-        if i % 16 == 0:
+        if i % 24 == 0:
             _lap(f"stereo warmup {i} (kf={slam.kf_seq})")
     slam.flush()
     t0 = time.perf_counter()
@@ -191,7 +194,7 @@ def stereo_kitti_shape(System, SlamConfig, OrbConfig, TrackingConfig,
         l, r = pairs[i]
         slam.track_stereo(l, r, i / 10.0)
     slam.flush()
-    fps = 20.0 / (time.perf_counter() - t0)
+    fps = (n - warm) / (time.perf_counter() - t0)
     _, poses = slam.frame_trajectory()
     est = np.asarray(camera_centers(poses))
     gt_np = np.stack(gt)
@@ -227,9 +230,10 @@ def ba_roofline():
     cam = CameraParams(fx=400., fy=400., cx=320., cy=320., bf=40.,
                        width=640, height=640)
 
-    def measure(K, Pn, O, iters, reps):
+    def measure(K, Pn, O, iters, reps, dense):
         prob = build_problem(K=K, Pn=Pn, O=O)
-        f = jax.jit(lambda *a: global_ba(cam, *a, iters=iters))
+        f = jax.jit(lambda *a: global_ba(cam, *a, iters=iters,
+                                         dense=dense))
         out = f(*prob)
         jax.block_until_ready(out)
         t0 = time.perf_counter()
@@ -240,11 +244,80 @@ def ba_roofline():
         its = iters / dt
         return its, ba_flops_per_iter(K=K, Pn=Pn, O=O) * its
 
-    s_its, s_fl = measure(48, 8192, 8, iters=10, reps=5)
-    _lap(f"BA small: {s_its:.1f} iters/s")
-    b_its, b_fl = measure(512, 65536, 8, iters=10, reps=3)
-    _lap(f"BA big: {b_its:.1f} iters/s")
-    return s_its, s_fl, b_its, b_fl
+    # dense Schur (one fat MXU factorization per LM iteration) is the
+    # production single-chip solver; PCG is kept as the sharded-path
+    # reference point
+    s_its, s_fl = measure(48, 8192, 8, iters=10, reps=5, dense=True)
+    _lap(f"BA small (dense): {s_its:.1f} iters/s")
+    b_its, b_fl = measure(512, 65536, 8, iters=10, reps=3, dense=True)
+    _lap(f"BA big (dense): {b_its:.1f} iters/s")
+    p_its, _ = measure(512, 65536, 8, iters=10, reps=2, dense=False)
+    _lap(f"BA big (pcg): {p_its:.1f} iters/s")
+    return s_its, s_fl, b_its, b_fl, p_its
+
+
+def ba_op_floor_evidence():
+    """Op-level breakdown proving the per-HLO-op dispatch floor — not
+    FLOPs — bounds BA throughput on this backend (r4 verdict item 5's
+    alternative 'done' criterion).
+
+    Measures, fetch-fenced and amortized inside one scan:
+      * per_op_ms — a [3072] matvec chained 20x (19 MFLOP/op: pure
+        dispatch floor),
+      * matmul_3072_tflops — a [3072,3072] matmul chain (the practical
+        MXU ceiling at BA's matrix sizes),
+      * cg_iter_marginal_ms — global_ba wall at cg_iters 8 vs 40
+        divided by 32 (the PCG loop body is ~8 HLO ops; marginal cost
+        ~= 8 x per_op_ms confirms the floor binds).
+    """
+    import jax
+    import jax.numpy as jnp
+    rng = np.random.default_rng(0)
+    n = 3072
+    A = rng.normal(0, 1, (n, 256)).astype(np.float32)
+    M = jnp.asarray(A @ A.T + np.eye(n, dtype=np.float32) * 10)
+    b = jnp.asarray(rng.normal(0, 1, n).astype(np.float32))
+
+    def amortized(f, reps=20):
+        def loop(M, b):
+            def body(c, _):
+                return c + f(M, b + c).sum(), None
+            out, _ = jax.lax.scan(body, 0.0, None, length=reps)
+            return out
+        g = jax.jit(loop)
+        float(g(M, b))
+        t0 = time.perf_counter()
+        float(g(M, b))
+        return (time.perf_counter() - t0) / reps * 1e3
+
+    per_op = amortized(lambda M, b: M @ b)
+    mm_ms = amortized(lambda M, b: (M + b[0]) @ M)
+    mm_tflops = 2 * n ** 3 / (mm_ms * 1e-3) / 1e12
+
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "scripts"))
+    from bench_ba_scaling import build_problem
+    from active_orb_slam2_tpu.geometry.projection import CameraParams
+    from active_orb_slam2_tpu.parallel.dist_ba import global_ba
+    cam = CameraParams(fx=400., fy=400., cx=320., cy=320., bf=40.,
+                       width=640, height=640)
+    prob = build_problem(K=512, Pn=65536, O=8)
+
+    def wall(cg):
+        f = jax.jit(lambda *a: global_ba(cam, *a, iters=4, cg_iters=cg))
+        out = f(*prob)
+        jax.block_until_ready(out)
+        np.asarray(out[2])
+        t0 = time.perf_counter()
+        out = f(*prob)
+        np.asarray(out[2])
+        return time.perf_counter() - t0
+
+    cg_marginal = (wall(40) - wall(8)) / (4 * 32) * 1e3
+    return {"per_op_ms": round(per_op, 2),
+            "matmul_3072_tflops": round(mm_tflops, 2),
+            "cg_iter_marginal_ms": round(cg_marginal, 2),
+            "cg_body_ops": 8}
 
 
 def mesh_scaling_efficiency():
@@ -369,10 +442,11 @@ def main():
 
     # BA roofline (verdict item 4 / north star)
     try:
-        s_its, s_fl, b_its, b_fl = ba_roofline()
+        s_its, s_fl, b_its, b_fl, p_its = ba_roofline()
         record["ba_iters_per_s"] = round(s_its, 2)
         record["ba_est_tflops"] = round(s_fl / 1e12, 3)
         record["ba_global_iters_per_s_512kf_65kpt"] = round(b_its, 2)
+        record["ba_global_iters_per_s_pcg"] = round(p_its, 2)
         record["ba_global_est_tflops"] = round(b_fl / 1e12, 3)
         # MFU vs an assumed fp32 dense peak; the assumption is recorded
         # so the estimate is auditable
@@ -382,6 +456,15 @@ def main():
     except Exception as e:
         _lap(f"BA roofline FAILED: {e!r}")
         record["ba_iters_per_s"] = None
+
+    # op-floor evidence: per-HLO dispatch floor vs MXU ceiling (the
+    # north star's roofline question answered at the op level)
+    try:
+        ev = ba_op_floor_evidence()
+        _lap(f"BA op floor: {ev}")
+        record["ba_op_floor_evidence"] = ev
+    except Exception as e:
+        _lap(f"BA op floor FAILED: {e!r}")
 
     # virtual-mesh strong scaling (correctness-bound lower estimate;
     # raw efficiency is bounded at 1/8 because the 8 virtual devices
