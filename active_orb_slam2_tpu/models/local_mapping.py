@@ -550,12 +550,12 @@ def build_keyframe_mapping(cfg: SlamConfig, triangulate: bool,
     to isolate which stage corrupts long runs.
 
     Returns jitted (m, kf_slot, kf_seq) ->
-    (m', victim, vparent, vpose, W_out).  ``vparent``/``vpose`` are the
-    victim's spanning-tree parent and pose SNAPSHOTTED inside the
-    program: the host processes the cull one event LATER (so it never
-    blocks on the mapping dispatch — r4 verdict item 3), by which time
-    the slot may already be re-tenanted and reading them eagerly would
-    return the new tenant's state.
+    (m', victim, vparent, vpose, vppose, W_out).  ``vparent`` /
+    ``vpose`` / ``vppose`` are the victim's spanning-tree parent, its
+    pose, and the parent's pose, all SNAPSHOTTED inside the program:
+    the host processes the cull one event LATER (so it never blocks on
+    the mapping dispatch — r4 verdict item 3), by which time the slot
+    may be re-tenanted and the parent moved by the next local BA.
     """
     create_body = make_create_points_body(cfg)
     fuse_body = make_fuse_body(cfg)
@@ -578,7 +578,14 @@ def build_keyframe_mapping(cfg: SlamConfig, triangulate: bool,
         vc = jnp.clip(victim, 0)
         vparent = m.kf_parent[vc]
         vpose = m.kf_pose[vc]
+        # parent pose snapshotted at the SAME instant: the host
+        # processes this cull one event later, after local BA has
+        # already moved the parent — composing the victim's cull-time
+        # pose against the parent's LATER pose bakes a ~cm
+        # inconsistency into every replay redirect, and the circle
+        # endurance accumulates hundreds of them
+        vppose = m.kf_pose[jnp.clip(vparent, 0)]
         W_out = covisibility_weights(m)
-        return m, victim, vparent, vpose, W_out
+        return m, victim, vparent, vpose, vppose, W_out
 
     return keyframe_mapping

@@ -615,19 +615,20 @@ class System:
             # in ONE dispatch, covisibility computed once (round-3
             # verdict item 1); W_out feeds loop detection below
             t0 = _time.perf_counter() if self.profile_stages else 0.0
-            self.map, victim, vparent, vpose, W = self.keyframe_mapping(
-                self.map, k, self.kf_seq)
+            (self.map, victim, vparent, vpose, vppose,
+             W) = self.keyframe_mapping(self.map, k, self.kf_seq)
             if self.profile_stages:
                 jax.block_until_ready(W)
                 self.stage_ms["mapping"] = \
                     (_time.perf_counter() - t0) * 1e3
-            for a in (victim, vparent, vpose):
+            for a in (victim, vparent, vpose, vppose):
                 try:
                     a.copy_to_host_async()
                 except (AttributeError, NotImplementedError):
                     pass
             self._pending_culls.append(
-                {"victim": victim, "parent": vparent, "pose": vpose})
+                {"victim": victim, "parent": vparent, "pose": vpose,
+                 "ppose": vppose})
         if self.loop_closer is not None:
             self.loop_closer.profile = self.profile_stages
             pre_pose_k = self.map.kf_pose[k]   # pre-correction snapshot
@@ -658,9 +659,12 @@ class System:
             if v >= 0:
                 self._on_keyframe_culled(
                     v, parent=int(host_fetch(e["parent"])),
-                    vpose=np.asarray(host_fetch(e["pose"]), np.float64))
+                    vpose=np.asarray(host_fetch(e["pose"]), np.float64),
+                    ppose=np.asarray(host_fetch(e["ppose"]),
+                                     np.float64))
 
-    def _on_keyframe_culled(self, victim: int, parent=None, vpose=None):
+    def _on_keyframe_culled(self, victim: int, parent=None, vpose=None,
+                            ppose=None):
         """Culled slots are recycled by later keyframes, so repoint any
         per-frame relative-pose records referencing the victim onto its
         spanning-tree parent (the reference's SaveTrajectoryTUM walks
@@ -690,12 +694,25 @@ class System:
             parent = int(parent_a)
             vpose = np.asarray(vpose_a, np.float64)
         if parent < 0 or parent not in self._live_slots:
-            # no live parent: fall back to the newest live keyframe
-            parent = self.last_kf_slot \
-                if self.last_kf_slot in self._live_slots else -1
+            # no live parent: fall back to the TEMPORALLY NEAREST live
+            # keyframe.  The old fallback (newest live KF) could sit a
+            # whole lap away — the frozen victim->parent relative then
+            # spans that entire arc, baking the drift of the epoch into
+            # every replayed frame record (the circle endurance, which
+            # culls 96% of keyframes, measured p95 frame error ~0.34 m
+            # from these long-baseline redirects).  The snapshotted
+            # parent pose no longer applies either way.
+            vfid = victim_fid if victim_fid is not None else \
+                self.frame_id
+            parent = min(
+                self._live_slots,
+                key=lambda s: abs(self._slot_fid.get(s, 0) - vfid)) \
+                if self._live_slots else -1
+            ppose = None
         if parent >= 0:
-            ppose = np.asarray(host_fetch(self.map.kf_pose[parent]),
-                               np.float64)
+            if ppose is None:
+                ppose = np.asarray(host_fetch(self.map.kf_pose[parent]),
+                                   np.float64)
             t_vp = np_se3.se3_compose(vpose, np_se3.se3_inverse(ppose))
             self.rel_records = [
                 (t, parent, np_se3.se3_compose(tcr, t_vp))
