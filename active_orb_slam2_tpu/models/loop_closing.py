@@ -91,11 +91,11 @@ class LoopCloser:
         self._gba_fn = None
         # semantic correction gate (see correct()): reject closures
         # whose post-correction mean chi2 exceeds gate * pre + offset.
-        # Calibrated on the r5 endurance dump: a true closure lands at
-        # ~1.15x pre after the two prompt GBA iterations; application
-        # blowups (torn essential graph, under-constrained launches)
-        # stay an order of magnitude above pre
-        self.chi2_gate = 1.5
+        # Calibrated on the r5 endurance dump (chip-measured): a true
+        # closure lands at ~2.7x pre after the single prompt GBA
+        # iteration at cg16, while application blowups (torn essential
+        # graph, under-constrained launches) measure 13-290x pre
+        self.chi2_gate = 3.5
         self.chi2_gate_offset = 0.25
         self._prev_accept = None       # [C-1, K] device bool rolling buf
         self._n_groups = 0             # groups recorded so far
@@ -179,43 +179,62 @@ class LoopCloser:
         # endurance artifacts can attribute the stall (r4 verdict Weak 6)
         self.last_retrain_ms = (_time.perf_counter() - t0) * 1e3
         self._vocab_stage += 1
-        # word ids changed: drop every BoW-derived cache and re-jit
+        # word ids changed: drop every BoW-derived cache.  The jitted
+        # transforms are rebuilt (cheap — the vocabulary arrays are jit
+        # ARGUMENTS, so same-shape compiles hit the persistent cache);
+        # the detect program is vocabulary-independent and survives.
         self._bow_fid = None
         self._bow_dense = None
         self._bow_words = None
         self._bow_weights = None
         self._bow_fns = None
-        self._detect_fn = None
         return self.vocab
 
     def _build_bow_fns(self):
-        """Jitted batched row transforms for the cache refresh."""
-        voc = self.vocab
-        from active_orb_slam2_tpu.models.vocabulary import transform_sparse
+        """Jitted batched row transforms for the cache refresh.
+
+        The vocabulary's ARRAYS are passed as jit arguments (only the
+        static k/depth are closed over): a retrained vocabulary with
+        the same tree shape then re-uses the compiled programs — with
+        the arrays captured as closure constants, every retrain forced
+        a fresh trace + compile, a measured 15 s mid-run stall at the
+        10k-word growth step (and a persistent-cache miss on every
+        process start)."""
+        k, depth = self.vocab.k, self.vocab.depth
+        from active_orb_slam2_tpu.models.vocabulary import (
+            l1_score_sparse, transform_sparse)
+
+        def mkvoc(c, ch, wid, idf):
+            return Vocabulary(centers=c, children=ch, word_id=wid,
+                              idf=idf, k=k, depth=depth)
 
         @jax.jit
-        def dense_rows(desc, valid):
+        def dense_rows(c, ch, wid, idf, desc, valid):
+            voc = mkvoc(c, ch, wid, idf)
+
             def one(d, v):
                 _, bow = transform(voc, d, v)
                 return bow
             return jax.vmap(one)(desc, valid)
 
         @jax.jit
-        def sparse_rows(desc, valid):
+        def sparse_rows(c, ch, wid, idf, desc, valid):
+            voc = mkvoc(c, ch, wid, idf)
+
             def one(d, v):
                 _, w, wt = transform_sparse(voc, d, v)
                 return w, wt
             return jax.vmap(one)(desc, valid)
 
         @jax.jit
-        def dense_query(qd, qv, bows):
+        def dense_query(c, ch, wid, idf, qd, qv, bows):
+            voc = mkvoc(c, ch, wid, idf)
             _, bow_q = transform(voc, qd, qv)
             return l1_score(bow_q, bows)
 
-        from active_orb_slam2_tpu.models.vocabulary import l1_score_sparse
-
         @jax.jit
-        def sparse_query(qd, qv, dbw, dbwt):
+        def sparse_query(c, ch, wid, idf, qd, qv, dbw, dbwt):
+            voc = mkvoc(c, ch, wid, idf)
             _, qw, qwt = transform_sparse(voc, qd, qv)
             return l1_score_sparse(voc.n_words, qw, qwt, dbw, dbwt)
 
@@ -223,21 +242,31 @@ class LoopCloser:
         # the jit (the eager ``m.kf_desc[cur_kf]`` gathers cost one
         # tunnel RPC each at keyframe rate)
         @jax.jit
-        def dense_query_kf(m: MapState, kf, bows):
+        def dense_query_kf(c, ch, wid, idf, m: MapState, kf, bows):
+            voc = mkvoc(c, ch, wid, idf)
             qd = m.kf_desc[kf]
             qv = m.kf_feat_valid[kf] & m.kf_valid[kf]
             _, bow_q = transform(voc, qd, qv)
             return l1_score(bow_q, bows)
 
         @jax.jit
-        def sparse_query_kf(m: MapState, kf, dbw, dbwt):
+        def sparse_query_kf(c, ch, wid, idf, m: MapState, kf, dbw,
+                            dbwt):
+            voc = mkvoc(c, ch, wid, idf)
             qd = m.kf_desc[kf]
             qv = m.kf_feat_valid[kf] & m.kf_valid[kf]
             _, qw, qwt = transform_sparse(voc, qd, qv)
             return l1_score_sparse(voc.n_words, qw, qwt, dbw, dbwt)
 
-        return (dense_rows, sparse_rows, dense_query, sparse_query,
-                dense_query_kf, sparse_query_kf)
+        def bind(f):
+            def call(*args):
+                v = self.vocab
+                return f(v.centers, v.children, v.word_id, v.idf, *args)
+            return call
+
+        return tuple(bind(f) for f in (
+            dense_rows, sparse_rows, dense_query, sparse_query,
+            dense_query_kf, sparse_query_kf))
 
     def refresh_bows(self, m: MapState, fid=None, valid=None):
         """Bring the per-KF BoW cache up to date: transform ONLY slots
@@ -395,8 +424,15 @@ class LoopCloser:
         tracking, so a one-event-stale decision matches its semantics).
         Fetching them synchronously drained the whole device queue per
         keyframe — a top serializer of the full pipeline (r4 item 3)."""
+        import time as _time
+        t_voc = _time.perf_counter()
+        stage0 = self._vocab_stage
         if self.ensure_vocabulary(m, n_kf=n_live_kf) is None:
             return None
+        if self._vocab_stage != stage0:
+            # whole setup cost (descriptor fetch + train + cache
+            # invalidation), not just the k-medians time
+            self.last_retrain_ms = (_time.perf_counter() - t_voc) * 1e3
         if W is None:
             W = _jit_covis(m)
         if self._detect_fn is None:
@@ -544,19 +580,20 @@ class LoopCloser:
                     cur_sim3, edges, fixed)
                 m = _apply_posegraph_result(m, cur_sim3, opt_sim3,
                                             preferred_anchor=corr_anchor)
-                # two prompt GBA iterations: the Sim3 propagation
+                # ONE prompt GBA iteration: the Sim3 propagation
                 # transiently breaks point-vs-nongroup-observer
                 # consistency (mean chi2 jumps ~20x even for a PERFECT
                 # closure — measured on the r5 endurance dump) and one
-                # LM iteration irons it back out; gating on the
-                # pre-GBA value rejected every true closure.  The
-                # remaining budget runs as deferred slices.
+                # LM iteration brings it to ~2.7x pre (chip-measured at
+                # cg16); gating on the raw pre-GBA value rejected every
+                # true closure.  The remaining budget runs as deferred
+                # slices, keeping per-closure latency under ~1 s.
                 pedges = build_point_major_edges(m)
                 gba_fixed = jnp.zeros(m.max_keyframes, bool) \
                     .at[loop_kf].set(True)
                 poses, pts, _ = global_ba(
                     cfg.camera, m.kf_pose, m.kf_valid, m.pt_xyz,
-                    m.pt_valid, pedges, gba_fixed, iters=2,
+                    m.pt_valid, pedges, gba_fixed, iters=1,
                     cg_iters=16)
                 m = m._replace(kf_pose=poses, pt_xyz=pts)
                 post_chi2 = _map_mean_chi2(cfg.camera, m)
@@ -647,11 +684,11 @@ class LoopCloser:
             "med_disp": med_disp,
             "s_cm": np.asarray(s_cm),
         }
-        # defer the REST of the GBA budget (2 iterations ran promptly
+        # defer the REST of the GBA budget (1 iteration ran promptly
         # inside the gated program) as bounded slices on subsequent
         # keyframe events — the deterministic analog of the reference's
         # abortable background GBA thread
-        self.gba_remaining = max(self.gba_iters - 2, 0)
+        self.gba_remaining = max(self.gba_iters - 1, 0)
         self._gba_fixed_slot = int(loop_kf)
         return m_new, True
 
@@ -755,21 +792,22 @@ class LoopCloser:
             if (cand >= 0 and cand != pend["kf"] and live_ok
                     and pend["kf_seq"] - self.last_loop_kf_seq >= 10):
                 self.n_candidates += 1
-                t0 = _time.perf_counter() if prof else 0.0
+                # verify/correct are RARE (a handful per run): time
+                # them unconditionally, or short endurance runs record
+                # no correction cost at all (r5 artifact gap)
+                t0 = _time.perf_counter()
                 ok2, s_cm, n = self.compute_sim3(m, pend["kf"], cand)
                 if not ok2:
                     self.n_verify_fail += 1
-                if prof:
-                    self.stage_ms["loop_verify"] = \
-                        (_time.perf_counter() - t0) * 1e3
+                self.stage_ms["loop_verify"] = \
+                    (_time.perf_counter() - t0) * 1e3
                 if ok2:
-                    t0 = _time.perf_counter() if prof else 0.0
+                    t0 = _time.perf_counter()
                     m, closed = self.correct(m, pend["kf"], cand, s_cm,
                                              W=W)
-                    if prof:
-                        jax.block_until_ready(m.kf_pose)
-                        self.stage_ms["loop_correct"] = \
-                            (_time.perf_counter() - t0) * 1e3
+                    jax.block_until_ready(m.kf_pose)
+                    self.stage_ms["loop_correct"] = \
+                        (_time.perf_counter() - t0) * 1e3
                     if closed:
                         self.last_loop_kf_seq = kf_seq
 
